@@ -1,0 +1,93 @@
+"""BAM writer (replaces htslib BAM output; ref: src/trgt/writers/write_bam.rs)."""
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+from .bgzf import BgzfWriter
+from .bam import BamHeader, reg2bin, CIGAR_OPS
+
+SEQ_NT16_CODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+CIGAR_OP_CODE = {op: i for i, op in enumerate(CIGAR_OPS)}
+
+
+def encode_aux(tag: str, typ: str, value) -> bytes:
+    out = tag.encode("ascii") + typ.encode("ascii")
+    if typ == "A":
+        return out + value.encode("ascii")
+    if typ == "c":
+        return out + struct.pack("<b", value)
+    if typ == "C":
+        return out + struct.pack("<B", value)
+    if typ == "s":
+        return out + struct.pack("<h", value)
+    if typ == "S":
+        return out + struct.pack("<H", value)
+    if typ == "i":
+        return out + struct.pack("<i", value)
+    if typ == "I":
+        return out + struct.pack("<I", value)
+    if typ == "f":
+        return out + struct.pack("<f", value)
+    if typ in "ZH":
+        return out + value.encode("ascii") + b"\0"
+    if typ == "B":
+        sub, vals = value
+        fmt = {"c": "b", "C": "B", "s": "h", "S": "H",
+               "i": "i", "I": "I", "f": "f"}[sub]
+        return out + sub.encode("ascii") + struct.pack("<I", len(vals)) + \
+            struct.pack(f"<{len(vals)}{fmt}", *vals)
+    raise ValueError(f"Unknown aux type: {typ}")
+
+
+class BamWriter:
+    def __init__(self, path: str, header_text: str,
+                 references: List[Tuple[str, int]]):
+        self._bgzf = BgzfWriter(path)
+        self.header = BamHeader(header_text, references)
+        text = header_text.encode("utf-8")
+        body = b"BAM\x01" + struct.pack("<i", len(text)) + text
+        body += struct.pack("<i", len(references))
+        for name, length in references:
+            nb = name.encode("ascii") + b"\0"
+            body += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+        self._bgzf.write(body)
+
+    def write_record(self, qname: str, flag: int, ref_id: int, pos: int,
+                     mapq: int, cigar: Optional[List[Tuple[int, str]]],
+                     seq: str, qual: bytes,
+                     aux: List[Tuple[str, str, object]]):
+        cigar = cigar or []
+        qname_b = qname.encode("ascii") + b"\0"
+        n_cigar = len(cigar)
+        l_seq = len(seq)
+        if cigar:
+            ref_len = sum(length for length, op in cigar if op in "MDN=X")
+            bin_v = reg2bin(pos, pos + max(1, ref_len))
+        else:
+            bin_v = reg2bin(pos, pos + 1)
+        rec = struct.pack("<iiBBHHHIiii", ref_id, pos, len(qname_b), mapq,
+                          bin_v, n_cigar, flag, l_seq, -1, -1, 0)
+        rec += qname_b
+        for length, op in cigar:
+            rec += struct.pack("<I", (length << 4) | CIGAR_OP_CODE[op])
+        seq_bytes = bytearray((l_seq + 1) // 2)
+        for i, base in enumerate(seq):
+            code = SEQ_NT16_CODE.get(base.upper(), 15)
+            if i % 2 == 0:
+                seq_bytes[i >> 1] |= code << 4
+            else:
+                seq_bytes[i >> 1] |= code
+        rec += bytes(seq_bytes)
+        rec += bytes(qual)
+        for tag, typ, value in aux:
+            rec += encode_aux(tag, typ, value)
+        self._bgzf.write(struct.pack("<i", len(rec)) + rec)
+
+    def close(self):
+        self._bgzf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
