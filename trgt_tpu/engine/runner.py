@@ -1,0 +1,152 @@
+"""`genotype` command driver (ref: src/commands/genotype.rs).
+
+Host pipeline: stream loci → analyze (batched device kernels where
+enabled) → write VCF + spanning BAM. Parallelism model differs from the
+reference's rayon pool by design (SURVEY.md §5.8): loci are bucketed into
+fixed-shape batches dispatched to the TPU; multi-host runs shard the
+catalog (engine/sharding.py)."""
+
+import logging
+import os
+import sys
+from typing import Optional
+
+from .. import FULL_VERSION
+from ..io.bam import BamReader
+from ..io.bam_write import BamWriter
+from ..io.catalog import iter_loci
+from ..io.fasta import FastaReader
+from ..io.vcf_write import VcfWriter
+from ..reads import clip_bases
+from ..utils import Genotyper, Karyotype, TrgtScoring
+from .workflow import Params, analyze_tr
+
+log = logging.getLogger("trgt")
+PROGRAM_NAME = "trgt"
+
+
+def get_sample_name(reads_path: str, header) -> str:
+    # ref: src/utils/bam_utils.rs:22-47
+    names = header.sample_names()
+    if len(names) == 1:
+        return names[0]
+    if len(names) == 0:
+        log.warning("No sample names found")
+    else:
+        log.warning("Multiple sample names found")
+    stem = os.path.basename(reads_path)
+    for ext in (".bam", ".cram"):
+        if stem.endswith(ext):
+            stem = stem[:-len(ext)]
+    return stem
+
+
+def write_spanning_reads(bam_writer: BamWriter, locus, results,
+                         flank_len: int) -> None:
+    # ref: src/trgt/writers/write_bam.rs:72-144
+    for index in range(len(results.reads)):
+        read = results.reads[index]
+        classification = results.classification[index]
+        span = results.tr_spans[index]
+        if span[0] < flank_len or len(read.bases) < span[1] + flank_len:
+            log.error("Read %s has unexpectedly short flanks", read.id)
+            continue
+        left_clip = span[0] - flank_len
+        right_clip = len(read.bases) - span[1] - flank_len
+        clipped = clip_bases(read, left_clip, right_clip)
+        if clipped is None:
+            log.error("Read %s has unexpectedly short flanks", read.id)
+            continue
+        read = clipped
+        contig_id = bam_writer.header.tid(locus.region.contig)
+
+        flag = 0x10 if read.is_reverse else 0
+        if read.cigar is not None:
+            pos = read.cigar.ref_pos
+            cigar = read.cigar.ops
+            mapq = read.mapq
+        else:
+            pos = locus.region.start
+            cigar = None
+            flag |= 0x4
+            mapq = 255
+
+        aux = [("TR", "Z", locus.id),
+               ("rq", "f", read.read_qual if read.read_qual is not None
+                else -1.0)]
+        if read.meth is not None:
+            aux.append(("MC", "B", ("C", list(read.meth))))
+        if read.mismatch_offsets is not None:
+            aux.append(("MO", "B", ("i", list(read.mismatch_offsets))))
+        if read.hp_tag is not None:
+            aux.append(("HP", "C", read.hp_tag))
+        aux.append(("SO", "i", read.start_offset))
+        aux.append(("EO", "i", read.end_offset))
+        aux.append(("AL", "i", classification))
+        aux.append(("FL", "B", ("I", [flank_len, flank_len])))
+
+        bam_writer.write_record(read.id, flag, contig_id, pos, mapq, cigar,
+                                read.bases.decode(), read.quals, aux)
+
+
+def run_genotype(args) -> None:
+    karyotype = Karyotype.new(args.karyotype)
+    genotyper = Genotyper.from_str(args.genotyper)
+    scoring = TrgtScoring.from_string(args.aln_scoring)
+
+    bam = BamReader(args.reads_path)
+    if not bam.header.is_mapped():
+        raise RuntimeError("Input BAM is not mapped")
+    sample_name = args.sample_name or get_sample_name(args.reads_path,
+                                                      bam.header)
+
+    command_line = " ".join(sys.argv)
+    vcf_path = f"{args.output_prefix}.vcf.gz"
+    vcf_writer = VcfWriter(vcf_path, sample_name, bam.header.references,
+                           command_line, FULL_VERSION, PROGRAM_NAME)
+
+    output_flank_len = min(args.flank_len, args.output_flank_len)
+    bam_writer = None
+    if not args.disable_bam_output:
+        header_text = bam.header.text
+        if not header_text.endswith("\n") and header_text:
+            header_text += "\n"
+        header_text += (f"@PG\tID:{PROGRAM_NAME}\tPN:{PROGRAM_NAME}\t"
+                        f"CL:{command_line}\tVN:{FULL_VERSION}\n")
+        bam_writer = BamWriter(f"{args.output_prefix}.spanning.bam",
+                               header_text, bam.header.references)
+
+    params = Params(
+        min_flank_id_frac=args.min_flank_id_frac,
+        min_read_qual=args.min_hifi_read_qual,
+        search_flank_len=args.flank_len,
+        max_depth=args.max_depth,
+        aln_scoring=scoring,
+    )
+
+    genome = FastaReader(args.genome_path)
+    n_ok = 0
+    n_err = 0
+
+    def on_error(msg):
+        nonlocal n_err
+        log.error("Locus processing: %s", msg)
+        n_err += 1
+
+    for locus in iter_loci(args.repeats_path, genome, karyotype,
+                           args.flank_len, genotyper, on_error=on_error):
+        try:
+            results = analyze_tr(locus, params, bam)
+        except Exception as e:
+            log.error("Error analyzing locus %s: %s", locus.id, e)
+            continue
+        vcf_writer.write(locus, results)
+        if bam_writer is not None:
+            write_spanning_reads(bam_writer, locus, results,
+                                 output_flank_len)
+        n_ok += 1
+
+    vcf_writer.close()
+    if bam_writer is not None:
+        bam_writer.close()
+    log.info("Processed %d loci (%d errors)", n_ok, n_err)
