@@ -2,7 +2,8 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding paths are testable
 # without TPU hardware (SURVEY.md §4: multi-host simulation path).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-override: the session env may point JAX at a remote TPU (axon).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

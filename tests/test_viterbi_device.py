@@ -1,0 +1,50 @@
+"""Device (JAX) batched Viterbi must reproduce host Viterbi state paths."""
+
+import random
+
+import pytest
+
+from trgt_tpu.hmm import build_hmm
+from trgt_tpu.kernels.viterbi import viterbi_batch
+
+
+def random_repeat(rng, motifs, n_copies, error_rate=0.0):
+    seq = []
+    for _ in range(n_copies):
+        m = rng.choice(motifs).decode()
+        for c in m:
+            r = rng.random()
+            if r < error_rate / 3:
+                continue  # deletion
+            elif r < 2 * error_rate / 3:
+                seq.append(rng.choice("ACGT"))  # mismatch
+            else:
+                seq.append(c)
+            if rng.random() < error_rate / 3:
+                seq.append(rng.choice("ACGT"))  # insertion
+    return "".join(seq)
+
+
+@pytest.mark.parametrize("motifs", [[b"CAG"], [b"CAG", b"A"],
+                                    [b"AAG", b"CAAC"]])
+def test_device_matches_host(motifs):
+    rng = random.Random(42)
+    hmm = build_hmm(motifs)
+    queries = []
+    for _ in range(12):
+        queries.append(random_repeat(rng, motifs, rng.randint(3, 15),
+                                     error_rate=0.1))
+    queries.append("")  # empty query handled
+    queries.append("TTTTTTTT")  # pure skip
+    host_paths = [hmm.label(q) for q in queries]
+    device_paths = viterbi_batch(hmm, queries)
+    for q, hp, dp in zip(queries, host_paths, device_paths):
+        assert hp == dp, f"mismatch for query {q!r}"
+
+
+def test_device_batch_mixed_lengths():
+    hmm = build_hmm([b"CAG"])
+    queries = ["CAG" * n for n in (1, 5, 20, 100)]
+    host_paths = [hmm.label(q) for q in queries]
+    device_paths = viterbi_batch(hmm, queries)
+    assert host_paths == device_paths

@@ -1,0 +1,193 @@
+"""Batched ends-free affine flank alignment on device.
+
+Replaces the reference's per-read WFA2 `align_ends_free` calls in the span
+locater (ref: src/trgt/genotype/span_locater.rs:14-27) — the #1 hot loop
+of `trgt genotype` (SURVEY.md §3.1).
+
+TPU-first design:
+  * One (read × flank) problem per batch row; all problems of a locus
+    batch run as ONE device program.
+  * The DP scans over the SHORT pattern axis (flank length P ≈ 250 steps)
+    and vectorizes over the text axis (clipped read length, lanes) and the
+    batch axis (sublanes) — O(P) sequential steps of (B, T) vector work.
+  * The within-row affine gap chain (gap-in-pattern, consuming text) is an
+    associative min-plus prefix scan along lanes (`lax.associative_scan`).
+  * No traceback storage: match counts and first/last match text positions
+    are carried forward along the optimal path ("forward-carry"), so the
+    kernel's outputs are just 4 scalars per problem.
+
+Cost model: match 0, mismatch `mism`, gap open `gapo`+`gape`, extend
+`gape`; pattern global, text free at both ends — identical optimal costs
+to WFA2's ends-free mode with those penalties.
+"""
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(1e9)
+
+
+@functools.partial(jax.jit, static_argnames=("mism", "gapo", "gape"))
+def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
+                     gape: int):
+    """pattern_toks: (B, P) uint8; text_toks: (B, T) uint8 (255 = pad).
+
+    Returns per-item (score (B,), matches (B,), first_match (B,),
+    last_match (B,), end_j (B,)) — text span is [first, last+1).
+    """
+    B, P = pattern_toks.shape
+    T = text_toks.shape[1]
+    go_ge = jnp.float32(gapo + gape)
+    ge = jnp.float32(gape)
+    mism_f = jnp.float32(mism)
+
+    j_idx = jnp.arange(T + 1, dtype=jnp.float32)          # (T+1,)
+    j_int = jnp.arange(T + 1, dtype=jnp.int32)
+
+    # initial row i=0: H = 0 (free text start), D = INF
+    H0 = jnp.zeros((B, T + 1), dtype=jnp.float32)
+    D0 = jnp.full((B, T + 1), INF, dtype=jnp.float32)
+    M0 = jnp.zeros((B, T + 1), dtype=jnp.float32)         # match counts
+    FS0 = jnp.full((B, T + 1), -1.0, dtype=jnp.float32)   # first match j
+    LS0 = jnp.full((B, T + 1), -1.0, dtype=jnp.float32)   # last match j
+    MD0, FSD0, LSD0 = M0, FS0, LS0                        # payload of D
+
+    def combine(a, b):
+        # min-plus segment combine for the prefix scan: (value, index)
+        av, ai = a
+        bv, bi = b
+        take_b = bv <= av          # tie prefers the later (larger-k) open
+        return (jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai))
+
+    def row_step(carry, row_in):
+        (H_prev, D_prev, M_H, FS_H, LS_H, M_D, FS_D, LS_D) = carry
+        p_tok = row_in                                   # (B,)
+
+        # D: gap in text (consume pattern), from previous row
+        d_open = H_prev + go_ge
+        d_ext = D_prev + ge
+        take_ext = d_ext < d_open                        # tie prefers open
+        D_row = jnp.where(take_ext, d_ext, d_open)
+        M_Dr = jnp.where(take_ext, M_D, M_H)
+        FS_Dr = jnp.where(take_ext, FS_D, FS_H)
+        LS_Dr = jnp.where(take_ext, LS_D, LS_H)
+
+        # diagonal: H_prev[j-1] + sub
+        is_match = (text_toks == p_tok[:, None])         # (B, T)
+        subcost = jnp.where(is_match, 0.0, mism_f)
+        H_shift = jnp.concatenate(
+            [jnp.full((B, 1), INF), H_prev[:, :-1]], axis=1)
+        M_Hs = jnp.concatenate([M_H[:, :1] * 0, M_H[:, :-1]], axis=1)
+        FS_Hs = jnp.concatenate([FS_H[:, :1] * 0 - 1, FS_H[:, :-1]], axis=1)
+        LS_Hs = jnp.concatenate([LS_H[:, :1] * 0 - 1, LS_H[:, :-1]], axis=1)
+        diag = jnp.concatenate(
+            [jnp.full((B, 1), INF),
+             H_prev[:, :-1] + subcost], axis=1)
+        m_here = jnp.concatenate(
+            [jnp.zeros((B, 1), dtype=bool), is_match], axis=1)
+        jm1 = j_idx - 1.0                                # match at col j-1…
+        # after a diagonal step into column j, the consumed text char is j-1
+        M_diag = M_Hs + m_here.astype(jnp.float32)
+        FS_diag = jnp.where(m_here & (FS_Hs < 0), j_idx - 1, FS_Hs)
+        LS_diag = jnp.where(m_here, j_idx - 1, LS_Hs)
+
+        # H without I (priority: diag wins ties over D)
+        take_d = D_row < diag
+        H_noI = jnp.where(take_d, D_row, diag)
+        M_n = jnp.where(take_d, M_Dr, M_diag)
+        FS_n = jnp.where(take_d, FS_Dr, FS_diag)
+        LS_n = jnp.where(take_d, LS_Dr, LS_diag)
+
+        # I: gap in pattern (consume text) — prefix min along lanes of
+        # (H_noI[k] + gapo - gape*k); I[j] = scan[j-1] + gape*j
+        base = H_noI + go_ge - ge * j_idx[None, :] - ge
+        # note: open at k, first gap col k+1 → cost H_noI[k]+gapo+gape*(j-k)
+        vals, idxs = jax.lax.associative_scan(
+            combine, (base, jnp.broadcast_to(j_int[None, :], (B, T + 1))),
+            axis=1)
+        I_row = jnp.concatenate(
+            [jnp.full((B, 1), INF),
+             vals[:, :-1] + ge * (j_idx[1:])[None, :]], axis=1)
+        k_star = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), idxs[:, :-1]], axis=1)
+        M_I = jnp.take_along_axis(M_n, k_star, axis=1)
+        FS_I = jnp.take_along_axis(FS_n, k_star, axis=1)
+        LS_I = jnp.take_along_axis(LS_n, k_star, axis=1)
+
+        # H (priority: H_noI wins ties over I)
+        take_i = I_row < H_noI
+        H_row = jnp.where(take_i, I_row, H_noI)
+        M_out = jnp.where(take_i, M_I, M_n)
+        FS_out = jnp.where(take_i, FS_I, FS_n)
+        LS_out = jnp.where(take_i, LS_I, LS_n)
+
+        new_carry = (H_row, D_row, M_out, FS_out, LS_out, M_Dr, FS_Dr,
+                     LS_Dr)
+        return new_carry, None
+
+    carry = (H0, D0, M0, FS0, LS0, MD0, FSD0, LSD0)
+    carry, _ = jax.lax.scan(row_step, carry, pattern_toks.T)
+    H_fin, _, M_fin, FS_fin, LS_fin, _, _, _ = carry
+
+    return H_fin, M_fin, FS_fin, LS_fin
+
+
+def _tokenize(seqs: Sequence[bytes], length: int, pad: int) -> np.ndarray:
+    """Raw-byte tokens (the reference compares raw bytes, so identical
+    non-ACGT characters count as matches); pad byte 0 never occurs in
+    sequence data."""
+    out = np.full((len(seqs), length), pad, dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        arr = np.frombuffer(s, dtype=np.uint8)[:length]
+        out[i, :len(arr)] = arr
+    return out
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+def flank_align_batch(pattern: bytes, seqs: Sequence[bytes], mism: int,
+                      gapo: int, gape: int):
+    """Batched ends-free alignment of one pattern against many texts.
+
+    Returns list of (score, n_matches, (text_start, text_end)).
+    """
+    if not seqs:
+        return []
+    T = _bucket(max(len(s) for s in seqs))
+    B = _bucket(len(seqs), minimum=8)
+    text_toks = np.zeros((B, T), dtype=np.uint8)
+    text_toks[:len(seqs)] = _tokenize(seqs, T, pad=0)
+    pattern_toks = np.broadcast_to(
+        _tokenize([pattern], len(pattern), pad=0), (B, len(pattern)))
+
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    H_fin, M_fin, FS_fin, LS_fin = _semiglobal_scan(
+        jnp.asarray(pattern_toks), jnp.asarray(text_toks), mism, gapo, gape)
+    H_fin = np.asarray(H_fin)
+    M_fin = np.asarray(M_fin)
+    FS_fin = np.asarray(FS_fin)
+    LS_fin = np.asarray(LS_fin)
+
+    results = []
+    for b in range(len(seqs)):
+        row = H_fin[b, :lens[b] + 1]
+        j_end = int(np.argmin(row))
+        score = float(row[j_end])
+        matches = int(M_fin[b, j_end])
+        fs = int(FS_fin[b, j_end])
+        ls = int(LS_fin[b, j_end])
+        if fs < 0:
+            results.append((score, 0, (0, 0)))
+        else:
+            results.append((score, matches, (fs, ls + 1)))
+    return results
