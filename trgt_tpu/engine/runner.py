@@ -124,6 +124,9 @@ def run_genotype(args) -> None:
         aln_scoring=scoring,
     )
 
+    from .batch import make_engine
+    engine = make_engine(getattr(args, "device", "auto"))
+
     genome = FastaReader(args.genome_path)
     n_ok = 0
     n_err = 0
@@ -136,7 +139,7 @@ def run_genotype(args) -> None:
     for locus in iter_loci(args.repeats_path, genome, karyotype,
                            args.flank_len, genotyper, on_error=on_error):
         try:
-            results = analyze_tr(locus, params, bam)
+            results = analyze_tr(locus, params, bam, engine)
         except Exception as e:
             log.error("Error analyzing locus %s: %s", locus.id, e)
             continue

@@ -22,6 +22,21 @@ from ..utils import Genotyper, Ploidy, TrgtScoring
 
 log = logging.getLogger("trgt")
 
+# HMM topologies repeat across loci (same motif sets) — cache them so the
+# device transition tables are built and uploaded once per topology.
+_HMM_CACHE = {}
+
+
+def cached_hmm(motifs):
+    key = tuple(motifs)
+    hmm = _HMM_CACHE.get(key)
+    if hmm is None:
+        if len(_HMM_CACHE) > 512:
+            _HMM_CACHE.clear()
+        hmm = build_hmm(list(motifs))
+        _HMM_CACHE[key] = hmm
+    return hmm
+
 
 @dataclass
 class Params:
@@ -68,7 +83,7 @@ class MT19937Reservoir:
         return self._rng.randrange(n)
 
 
-def analyze_tr(locus, params: Params, bam) -> LocusResult:
+def analyze_tr(locus, params: Params, bam, engine=None) -> LocusResult:
     # ref: tr.rs:24-109
     if locus.ploidy == Ploidy.ZERO:
         return LocusResult.empty()
@@ -77,12 +92,12 @@ def analyze_tr(locus, params: Params, bam) -> LocusResult:
     reads = clip_reads(locus, clip_radius, reads)
     log.debug("%s: %d reads left after clipping", locus.id, len(reads))
 
-    reads, spans = get_spanning_reads(locus, params, reads)
+    reads, spans = get_spanning_reads(locus, params, reads, engine)
 
     MIN_RQ_FOR_PURITY = 0.9
     if params.min_read_qual < MIN_RQ_FOR_PURITY:
         new_reads, new_spans = filter_impure_trs(locus, reads, spans,
-                                                 MIN_RQ_FOR_PURITY)
+                                                 MIN_RQ_FOR_PURITY, engine)
         if len(new_reads) < len(reads):
             log.warning("%s: Filtered out %d impure reads", locus.id,
                         len(reads) - len(new_reads))
@@ -97,8 +112,10 @@ def analyze_tr(locus, params: Params, bam) -> LocusResult:
         gt, allele_seqs, classification = genotype_size.genotype(
             locus.ploidy, trs)
     else:
+        pair_dists = (engine.pair_distances([t.encode() for t in trs])
+                      if engine is not None else None)
         gt, allele_seqs, classification = genotype_cluster.genotype(
-            locus.ploidy, trs)
+            locus.ploidy, trs, pair_dists=pair_dists)
 
     # SNP-flank re-genotype rescue when allele sizes are close (tr.rs:70-75)
     if len(gt) == 2 and abs(gt[0].size - gt[1].size) <= 10:
@@ -106,7 +123,7 @@ def analyze_tr(locus, params: Params, bam) -> LocusResult:
         if snp_result is not None:
             gt, allele_seqs, classification = snp_result
 
-    annotations = label_with_hmm(locus, allele_seqs)
+    annotations = label_with_hmm(locus, allele_seqs, engine)
 
     spanning_by_hap = [sum(1 for x in classification if x == 0),
                        sum(1 for x in classification if x == 1)]
@@ -177,12 +194,15 @@ def clip_reads(locus, radius: int, reads: List[HiFiRead]) -> List[HiFiRead]:
     return out
 
 
-def get_spanning_reads(locus, params: Params, reads: List[HiFiRead]):
+def get_spanning_reads(locus, params: Params, reads: List[HiFiRead],
+                       engine=None):
     # ref: tr.rs:111-170
+    batch_aligner = engine.batch_flank_aligner if engine is not None else None
     tr_spans = find_tr_spans(
         locus.left_flank.encode(), locus.right_flank.encode(),
         [r.bases for r in reads], params.search_flank_len,
-        params.min_flank_id_frac, params.aln_scoring)
+        params.min_flank_id_frac, params.aln_scoring,
+        batch_aligner=batch_aligner)
 
     reads_and_spans = [(r, s) for r, s in zip(reads, tr_spans)
                        if s is not None]
@@ -225,7 +245,8 @@ def uniform_downsample(reads_and_spans, output_length: int):
     return items[:output_length]
 
 
-def filter_impure_trs(locus, reads, spans, rq_cutoff: float):
+def filter_impure_trs(locus, reads, spans, rq_cutoff: float,
+                      engine=None):
     # ref: tr.rs:400-452
     if not reads:
         return reads, spans
@@ -241,12 +262,24 @@ def filter_impure_trs(locus, reads, spans, rq_cutoff: float):
         if hmm is None:
             motifs = [replace_invalid_bases(m, "ATCGN").encode()
                       for m in locus.motifs]
-            hmm = build_hmm(motifs)
+            hmm = cached_hmm(motifs)
         seq = read.bases[span[0]:span[1]].decode()
         seq = replace_invalid_bases(seq, "ATCG")
-        labels = hmm.label(seq)
-        purity = calc_purity(seq.encode(), hmm, motifs, labels)
-        scored.append((read, span, purity))
+        scored.append((read, span, seq))
+
+    # batch all low-rq labelings through the device engine
+    pending = [(i, t[2]) for i, t in enumerate(scored)
+               if isinstance(t[2], str)]
+    if pending:
+        queries = [q for _, q in pending]
+        if engine is not None:
+            paths = engine.viterbi(hmm, queries)
+        else:
+            paths = [hmm.label(q) for q in queries]
+        for (i, q), labels in zip(pending, paths):
+            read, span, _ = scored[i]
+            purity = calc_purity(q.encode(), hmm, motifs, labels)
+            scored[i] = (read, span, purity)
 
     scored.sort(key=lambda t: t[2])
     num_filtered = 0
@@ -259,15 +292,18 @@ def filter_impure_trs(locus, reads, spans, rq_cutoff: float):
     return [r for r, _ in kept], [s for _, s in kept]
 
 
-def label_with_hmm(locus, seqs: List[str]) -> List[Annotation]:
+def label_with_hmm(locus, seqs: List[str], engine=None) -> List[Annotation]:
     # ref: tr.rs:454-492
     motifs = [replace_invalid_bases(m, "ATCGN").encode()
               for m in locus.motifs]
-    hmm = build_hmm(motifs)
+    hmm = cached_hmm(motifs)
+    cleaned = [replace_invalid_bases(s, "ATCG") for s in seqs]
+    if engine is not None:
+        paths = engine.viterbi(hmm, cleaned)
+    else:
+        paths = [hmm.label(s) for s in cleaned]
     annotations = []
-    for seq in seqs:
-        seq = replace_invalid_bases(seq, "ATCG")
-        labels = hmm.label(seq)
+    for seq, labels in zip(cleaned, paths):
         purity = calc_purity(seq.encode(), hmm, motifs, labels)
         labels = remove_imperfect_motifs(hmm, motifs, labels, seq.encode(), 6)
         spans = label_motifs(hmm, labels)

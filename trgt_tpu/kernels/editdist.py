@@ -1,0 +1,112 @@
+"""Batched edit-distance on device for the cluster genotyper's O(n²)
+pairwise distance matrix (ref: src/trgt/genotype/genotype_cluster.rs:236-286,
+hot loop #2 in SURVEY.md §3.1).
+
+All (i, j) pairs small enough for exact ED (len_i·len_j ≤ MAX_OPS, the
+reference's skip bound) are packed into one batch; the DP scans the rows
+of the first sequence and vectorizes over (pairs × columns), with the
+intra-row insertion chain as an associative min-plus prefix scan.
+Oversized pairs use the |len difference| lower bound, as in the reference.
+"""
+
+import functools
+from typing import List, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(1e9)
+MAX_OPS = 10000  # ref: genotype_cluster.rs:231
+
+
+@functools.partial(jax.jit)
+def _edit_scan(a_toks, b_toks):
+    """a_toks: (B, P) uint8 (0 = pad), b_toks: (B, T) uint8.
+    Returns H rows stacked: final full DP table row per row index is not
+    kept — returns (B, T+1) last row per item computed at its own P via
+    masking: rows beyond a's length leave H unchanged."""
+    B, P = a_toks.shape
+    T = b_toks.shape[1]
+    j_idx = jnp.arange(T + 1, dtype=jnp.float32)
+    j_int = jnp.arange(T + 1, dtype=jnp.int32)
+
+    H0 = jnp.broadcast_to(j_idx[None, :], (B, T + 1))
+
+    def combine(a, b):
+        av, bv = a, b
+        return jnp.minimum(av, bv)
+
+    def row_step(H_prev, a_col):
+        # a_col: (B,) token of sequence a at this row; 0 = padding row
+        active = (a_col != 0)[:, None]                    # (B, 1)
+        is_match = (b_toks == a_col[:, None])             # (B, T)
+        sub = jnp.where(is_match, 0.0, 1.0)
+        diag = jnp.concatenate(
+            [jnp.full((B, 1), INF), H_prev[:, :-1] + sub], axis=1)
+        up = H_prev + 1.0
+        pre = jnp.minimum(diag, up)
+        pre = pre.at[:, 0].set(H_prev[:, 0] + 1.0)        # H[i][0] = i
+        # left chain: H[j] = min(pre[j], min_k<j (pre[k] + (j-k)))
+        scan_in = pre - j_idx[None, :]
+        cm = jax.lax.associative_scan(combine, scan_in, axis=1)
+        H_row = jnp.minimum(pre, cm + j_idx[None, :])
+        H_new = jnp.where(active, H_row, H_prev)
+        return H_new, None
+
+    H_fin, _ = jax.lax.scan(row_step, H0, a_toks.T)
+    return H_fin
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+def edit_distances_batch(pairs: Sequence[tuple]) -> List[int]:
+    """Exact edit distances for a list of (bytes, bytes) pairs."""
+    if not pairs:
+        return []
+    # put the shorter sequence on the scan axis
+    norm = []
+    for a, b in pairs:
+        if len(a) > len(b):
+            a, b = b, a
+        norm.append((a, b))
+    P = _bucket(max(len(a) for a, _ in norm))
+    T = _bucket(max(len(b) for _, b in norm))
+    B = _bucket(len(norm), minimum=8)
+    a_toks = np.zeros((B, P), dtype=np.uint8)
+    b_toks = np.zeros((B, T), dtype=np.uint8)
+    for i, (a, b) in enumerate(norm):
+        a_toks[i, :len(a)] = np.frombuffer(a, dtype=np.uint8)
+        b_toks[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    H_fin = np.asarray(_edit_scan(jnp.asarray(a_toks), jnp.asarray(b_toks)))
+    out = []
+    for i, (a, b) in enumerate(norm):
+        out.append(int(H_fin[i, len(b)]))
+    return out
+
+
+def pairwise_distance_matrix(trs: Sequence[bytes]) -> np.ndarray:
+    """Full (n, n) raw edit-distance matrix with the reference's
+    skip-bound semantics (|len diff| when len_i*len_j > MAX_OPS)."""
+    n = len(trs)
+    dist = np.zeros((n, n), dtype=np.float64)
+    pair_idx = []
+    pairs = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if len(trs[i]) * len(trs[j]) > MAX_OPS:
+                dist[i, j] = dist[j, i] = abs(len(trs[i]) - len(trs[j]))
+            else:
+                pair_idx.append((i, j))
+                pairs.append((trs[i], trs[j]))
+    if pairs:
+        eds = edit_distances_batch(pairs)
+        for (i, j), d in zip(pair_idx, eds):
+            dist[i, j] = dist[j, i] = d
+    return dist
