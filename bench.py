@@ -1,0 +1,82 @@
+"""Benchmark: end-to-end genotyping throughput (loci/sec) on the default
+JAX backend (TPU under the driver).
+
+Replays the bundled example locus as a multi-locus catalog and times the
+full pipeline — BAM fetch/parse, span location, genotyping, device HMM
+annotation, VCF+BAM output. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is the speedup of the device-engine path over the host-only
+(numpy) path measured in the same run — the reference TRGT Rust binary
+cannot be built in this image (no cargo), so the in-run host path is the
+honest baseline anchor; see BASELINE.md.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+EXAMPLE = "/root/reference/example"
+N_LOCI = 64
+
+
+def make_catalog(path: str, n: int) -> None:
+    with open(path, "w") as fh:
+        for i in range(n):
+            fh.write(f"chrA\t10001\t10061\tID=TR{i + 1};MOTIFS=CAG;"
+                     f"STRUC=<TR>\n")
+
+
+def run_pipeline(workdir: str, device_mode: str) -> float:
+    from trgt_tpu.cli import main
+    catalog = os.path.join(workdir, "repeats.bed")
+    make_catalog(catalog, N_LOCI)
+    prefix = os.path.join(workdir, f"bench_{device_mode}")
+    t0 = time.time()
+    rc = main([
+        "genotype",
+        "--genome", os.path.join(EXAMPLE, "reference.fasta"),
+        "--repeats", catalog,
+        "--reads", os.path.join(EXAMPLE, "sample.bam"),
+        "--output-prefix", prefix,
+        "--device", device_mode,
+    ])
+    elapsed = time.time() - t0
+    assert rc == 0
+    return N_LOCI / elapsed
+
+
+def main():
+    workdir = tempfile.mkdtemp(prefix="trgt_bench_")
+    try:
+        # warmup (compiles device kernels; excluded from timing)
+        warm = tempfile.mkdtemp(prefix="trgt_warm_", dir=workdir)
+        from trgt_tpu.cli import main as cli_main
+        make_catalog(os.path.join(warm, "repeats.bed"), 2)
+        cli_main(["genotype",
+                  "--genome", os.path.join(EXAMPLE, "reference.fasta"),
+                  "--repeats", os.path.join(warm, "repeats.bed"),
+                  "--reads", os.path.join(EXAMPLE, "sample.bam"),
+                  "--output-prefix", os.path.join(warm, "w"),
+                  "--device", "auto"])
+
+        device_lps = run_pipeline(workdir, "auto")
+        host_lps = run_pipeline(workdir, "host")
+
+        print(json.dumps({
+            "metric": "genotype loci/sec (example-locus replay, e2e)",
+            "value": round(device_lps, 3),
+            "unit": "loci/sec/chip",
+            "vs_baseline": round(device_lps / host_lps, 3),
+        }))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
