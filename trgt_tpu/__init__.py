@@ -16,5 +16,8 @@ Layer map (bottom-up; see SURVEY.md §7):
   plot/      allele/waterfall plots (ref: src/trvz/)
 """
 
-__version__ = "0.1.0"
+# Version-compat note: merge sniffs ##trgtVersion from VCF headers and
+# applies pre-1.0 padding fixes (ref: src/merge/vcf_reader.rs:108-176), so
+# the version must reflect the replicated TRGT output semantics (v3.0.0).
+__version__ = "3.0.0-tpu.0.1.0"
 FULL_VERSION = __version__

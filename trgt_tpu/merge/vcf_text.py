@@ -1,0 +1,152 @@
+"""VCF reading for the merge pipeline (ref: src/merge/vcf_reader.rs).
+
+Text-level reader over plain or BGZF-compressed VCFs with TRGT version
+sniffing (trgtVersion header, else ALCI / ALLR+integer-AM heuristics →
+0.3.4 / 0.4.0, ref vcf_reader.rs:127-176) and the pre-1.0 POS-shift
+compatibility rule (vcf_reader.rs:108-124)."""
+
+import gzip
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Tuple
+
+
+@dataclass
+class VcfRecord:
+    chrom: str
+    pos: int                      # 0-based (VCF POS - 1, htslib convention)
+    id: str
+    alleles: List[str]            # [ref, alt...]; alt "." → just [ref]
+    qual: str
+    filter: str
+    info: str
+    fmt_keys: List[str]
+    samples: List[Dict[str, str]]  # per sample: key -> raw string
+
+    def info_field(self, key: str) -> Optional[str]:
+        for part in self.info.split(";"):
+            if part.startswith(key + "="):
+                return part[len(key) + 1:]
+        return None
+
+
+def parse_version(v: str) -> Tuple[int, int, int]:
+    m = re.match(r"^(\d+)\.(\d+)\.(\d+)", v)
+    if not m:
+        raise ValueError(f"Failed to parse version: {v}")
+    return tuple(int(x) for x in m.groups())
+
+
+class VcfTextReader:
+    def __init__(self, path: str, index: int = 0):
+        self.path = path
+        self.index = index
+        self.header_lines: List[str] = []
+        self.samples: List[str] = []
+        self._records_by_contig: Dict[str, List[VcfRecord]] = {}
+        self._load(path)
+        self.version = self._sniff_version()
+        self.sample_n = len(self.samples)
+        if self.version[0] < 1:
+            self._apply_pre10_pos_shift()
+
+    # ---- loading ----
+    def _open_lines(self, path: str):
+        lower = path.lower()
+        if lower.endswith(".gz") or lower.endswith(".bgz"):
+            # BGZF is valid gzip; gzip module handles multi-member streams
+            return gzip.open(path, "rt")
+        return open(path)
+
+    def _load(self, path: str) -> None:
+        with self._open_lines(path) as fh:
+            first = True
+            for line in fh:
+                line = line.rstrip("\n")
+                if first:
+                    if not line.startswith("##fileformat=VCFv"):
+                        raise ValueError(
+                            f"File {path} is not a valid VCF file")
+                    first = False
+                if line.startswith("##"):
+                    self.header_lines.append(line)
+                elif line.startswith("#CHROM"):
+                    cols = line.split("\t")
+                    self.samples = cols[9:]
+                elif line:
+                    rec = self._parse_record(line)
+                    self._records_by_contig.setdefault(rec.chrom,
+                                                       []).append(rec)
+        for recs in self._records_by_contig.values():
+            recs.sort(key=lambda r: r.pos)
+
+    def _parse_record(self, line: str) -> VcfRecord:
+        cols = line.split("\t")
+        chrom, pos, rid, ref, alt, qual, filt, info = cols[:8]
+        fmt_keys = cols[8].split(":") if len(cols) > 8 else []
+        samples = []
+        for s in cols[9:]:
+            vals = s.split(":")
+            samples.append({k: (vals[i] if i < len(vals) else ".")
+                            for i, k in enumerate(fmt_keys)})
+        alleles = [ref]
+        if alt != ".":
+            alleles.extend(alt.split(","))
+        return VcfRecord(chrom, int(pos) - 1, rid, alleles, qual, filt,
+                         info, fmt_keys, samples)
+
+    # ---- version handling ----
+    def _sniff_version(self) -> Tuple[int, int, int]:
+        trgt_version = None
+        for line in self.header_lines:
+            if line.startswith("##trgtVersion="):
+                trgt_version = line.split("=", 1)[1]
+        if trgt_version is None:
+            has_allr = False
+            has_alci = False
+            is_integer_am = False
+            for line in self.header_lines:
+                if line.startswith("##FORMAT="):
+                    if "ID=ALLR" in line:
+                        has_allr = True
+                    if "ID=ALCI" in line:
+                        has_alci = True
+                    if "ID=AM" in line and "Type=Integer" in line:
+                        is_integer_am = True
+            if has_alci:
+                trgt_version = "0.3.4"
+            elif has_allr and is_integer_am:
+                trgt_version = "0.4.0"
+            if trgt_version is None:
+                raise ValueError(f"Non-TRGT VCF supplied {self.path}")
+        return parse_version(trgt_version)
+
+    def _apply_pre10_pos_shift(self) -> None:
+        # ref: vcf_reader.rs:108-124 — pre-1.0 records without zero-length
+        # alleles lacked the padding base; shift POS back by one
+        for recs in self._records_by_contig.values():
+            for rec in recs:
+                al = rec.samples[0].get("AL", ".") if rec.samples else "."
+                try:
+                    al_min = min(int(x) for x in al.split(",") if x != ".")
+                except ValueError:
+                    continue
+                if al_min != 0:
+                    rec.pos -= 1
+            recs.sort(key=lambda r: r.pos)
+
+    # ---- access ----
+    def contigs(self) -> List[Tuple[str, int]]:
+        out = []
+        for line in self.header_lines:
+            if line.startswith("##contig=<"):
+                body = line[len("##contig=<"):-1]
+                fields = dict(kv.split("=", 1) for kv in body.split(",")
+                              if "=" in kv)
+                out.append((fields.get("ID", ""),
+                            int(fields.get("length", "0") or 0)))
+        return out
+
+    def records(self, contig: str) -> List[VcfRecord]:
+        return self._records_by_contig.get(contig, [])
