@@ -48,3 +48,14 @@ def test_device_batch_mixed_lengths():
     host_paths = [hmm.label(q) for q in queries]
     device_paths = viterbi_batch(hmm, queries)
     assert host_paths == device_paths
+
+
+def test_heterogeneous_hmm_batch():
+    """Different motif sets (different topologies) in one device batch."""
+    from trgt_tpu.kernels.viterbi import viterbi_batch_multi
+    hmms = [build_hmm(m) for m in ([b"CAG"], [b"CAG", b"A"],
+                                   [b"AAG", b"CAAC"], [b"A"])]
+    queries = ["CAGCAGCAG", "CAGCAGAAA", "AAGAAGCAACAAG", "AAAAAA"]
+    got = viterbi_batch_multi(hmms, queries)
+    want = [h.label(q) for h, q in zip(hmms, queries)]
+    assert got == want

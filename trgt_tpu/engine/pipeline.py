@@ -1,0 +1,363 @@
+"""Cross-locus batched pipeline: the TPU-native replacement for the
+reference's per-locus rayon work items (ref: src/commands/genotype.rs).
+
+Loci are processed in batches; each per-locus decision stays host-side
+(workflow.py), while the three hot DP stages are hoisted and fused into
+single device dispatches per batch:
+
+  stage 1  span location  — ALL (read × flank) alignment fallbacks across
+           the batch → one `flank_align_batch_multi` call
+  stage 2  impure-read filter + allele annotation — ALL Viterbi labelings
+           across the batch (heterogeneous HMMs) → one
+           `viterbi_batch_multi` call each
+  stage 3  cluster distances — ALL small edit-distance pairs across the
+           batch → one `edit_distances_batch` call
+
+This amortizes device-dispatch latency over the whole batch, which is
+what makes the TPU path win over per-locus dispatch.
+"""
+
+import logging
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..genotype import genotype_cluster, genotype_flank, genotype_size
+from ..hmm import (Annotation, calc_purity, collapse_labels, count_motifs,
+                   label_motifs, remove_imperfect_motifs,
+                   replace_invalid_bases)
+from ..utils import Genotyper, Ploidy
+from . import workflow
+from .workflow import (Allele, LocusResult, Params, cached_hmm, clip_reads,
+                       extract_reads, get_meth, uniform_downsample)
+
+log = logging.getLogger("trgt")
+
+MIN_RQ_FOR_PURITY = 0.9
+PURITY_CUTOFF = 0.9
+
+
+class _LocusState:
+    __slots__ = ("locus", "reads", "spans", "trs", "result", "done",
+                 "gt", "allele_seqs", "classification", "hmm", "motifs",
+                 "annotations")
+
+    def __init__(self, locus):
+        self.locus = locus
+        self.reads = []
+        self.spans = []
+        self.trs = []
+        self.result = None
+        self.done = False
+        self.gt = None
+        self.allele_seqs = None
+        self.classification = None
+        self.hmm = None
+        self.motifs = None
+
+
+class BatchPipeline:
+    def __init__(self, params: Params, batch_size: int = 64,
+                 use_device: bool = True):
+        self.params = params
+        self.batch_size = batch_size
+        self.use_device = use_device
+
+    def process(self, loci, bam):
+        """Yields (locus, LocusResult) in input order, batch by batch."""
+        batch: List = []
+        for locus in loci:
+            batch.append(locus)
+            if len(batch) >= self.batch_size:
+                yield from self._run_batch(batch, bam)
+                batch = []
+        if batch:
+            yield from self._run_batch(batch, bam)
+
+    # ---- batch driver ----
+    def _run_batch(self, loci, bam):
+        params = self.params
+        states = []
+        for locus in loci:
+            st = _LocusState(locus)
+            states.append(st)
+            if locus.ploidy == Ploidy.ZERO:
+                st.result = LocusResult.empty()
+                st.done = True
+                continue
+            reads = extract_reads(locus, bam, params)
+            st.reads = clip_reads(locus, 2 * params.search_flank_len, reads)
+
+        self._stage_spans(states)
+        self._stage_impure_filter(states)
+        self._stage_genotype(states)
+        self._stage_annotate(states)
+
+        for st in states:
+            if st.result is None:
+                st.result = self._assemble(st)
+            yield st.locus, st.result
+
+    # ---- stage 1: span location ----
+    def _stage_spans(self, states):
+        params = self.params
+        fl = params.search_flank_len
+        miss: List[Tuple[int, int, int]] = []      # (state_i, read_i, which)
+        miss_patterns: List[bytes] = []
+        miss_texts: List[bytes] = []
+        span_grids = []                             # per state: 2 lists
+        for si, st in enumerate(states):
+            if st.done:
+                span_grids.append(None)
+                continue
+            lf_piece = st.locus.left_flank.encode()[-fl:]
+            rf_piece = st.locus.right_flank.encode()[:fl]
+            lf_spans = [None] * len(st.reads)
+            rf_spans = [None] * len(st.reads)
+            for which, piece, spans in ((0, lf_piece, lf_spans),
+                                        (1, rf_piece, rf_spans)):
+                for ri, read in enumerate(st.reads):
+                    start = read.bases.find(piece)
+                    if start != -1:
+                        spans[ri] = (start, start + len(piece))
+                    else:
+                        miss.append((si, ri, which))
+                        miss_patterns.append(piece)
+                        miss_texts.append(read.bases)
+            span_grids.append((lf_spans, rf_spans))
+
+        if miss:
+            threshold = fl * params.min_flank_id_frac
+            sc = params.aln_scoring
+            results = self._align_misses(miss_patterns, miss_texts, sc)
+            for (si, ri, which), (score, matches, span) in zip(miss,
+                                                               results):
+                if float(matches) >= threshold:
+                    span_grids[si][which][ri] = span
+
+        for st, grids in zip(states, span_grids):
+            if st.done:
+                continue
+            lf_spans, rf_spans = grids
+            spans = []
+            for lf_span, rf_span in zip(lf_spans, rf_spans):
+                if lf_span is None or rf_span is None:
+                    spans.append(None)
+                elif lf_span[1] <= rf_span[0]:
+                    spans.append((lf_span[1], rf_span[0]))
+                else:
+                    spans.append(None)
+            self._finish_spans(st, spans)
+
+    def _align_misses(self, patterns, texts, sc):
+        if self.use_device:
+            from ..kernels.semiglobal import flank_align_batch_multi
+            return flank_align_batch_multi(patterns, texts, sc.mism_scr,
+                                           sc.gapo_scr, sc.gape_scr)
+        from ..kernels.align_host import align_ends_free_text
+        out = []
+        for p, t in zip(patterns, texts):
+            score, matches, _, tspan = align_ends_free_text(
+                p, t, sc.mism_scr, sc.gapo_scr, sc.gape_scr)
+            out.append((score, matches, tspan))
+        return out
+
+    def _finish_spans(self, st, spans):
+        # ref: tr.rs:111-170 (filters, sort by TR length, downsample)
+        params = self.params
+        rs = [(r, s) for r, s in zip(st.reads, spans) if s is not None]
+        rs = [(r, s) for r, s in rs
+              if s[0] >= params.search_flank_len
+              and len(r.bases) - s[1] >= params.search_flank_len]
+        if not rs:
+            st.reads, st.spans = [], []
+            return
+        rs.sort(key=lambda t: t[1][1] - t[1][0])
+        if len(rs) > params.max_depth:
+            rs = uniform_downsample(rs, params.max_depth)
+        st.reads = [r for r, _ in rs]
+        st.spans = [s for _, s in rs]
+
+    # ---- stage 2a: impure-read filter (targeted preset) ----
+    def _stage_impure_filter(self, states):
+        params = self.params
+        if params.min_read_qual >= MIN_RQ_FOR_PURITY:
+            return
+        # collect labelings for low-rq reads across the whole batch
+        requests = []   # (state, read_i, hmm, motifs, seq)
+        for st in states:
+            if st.done or not st.reads:
+                continue
+            for ri, (read, span) in enumerate(zip(st.reads, st.spans)):
+                if read.read_qual is not None and \
+                        read.read_qual >= MIN_RQ_FOR_PURITY:
+                    continue
+                motifs = tuple(replace_invalid_bases(m, "ATCGN").encode()
+                               for m in st.locus.motifs)
+                hmm = cached_hmm(motifs)
+                seq = read.bases[span[0]:span[1]].decode()
+                seq = replace_invalid_bases(seq, "ATCG")
+                requests.append((st, ri, hmm, list(motifs), seq))
+        purities: Dict[Tuple[int, int], float] = {}
+        if requests:
+            paths = self._viterbi([r[2] for r in requests],
+                                  [r[4] for r in requests])
+            for (st, ri, hmm, motifs, seq), labels in zip(requests, paths):
+                purities[(id(st), ri)] = calc_purity(
+                    seq.encode(), hmm, motifs, labels)
+
+        for st in states:
+            if st.done or not st.reads:
+                continue
+            scored = []
+            for ri, (read, span) in enumerate(zip(st.reads, st.spans)):
+                p = purities.get((id(st), ri), 1.0)
+                scored.append((read, span, p))
+            max_filter = max(1, round(0.1 * len(scored)))
+            scored.sort(key=lambda t: t[2])
+            num_filtered = 0
+            kept = []
+            for read, span, purity in scored:
+                if purity >= PURITY_CUTOFF or num_filtered >= max_filter:
+                    kept.append((read, span))
+                else:
+                    num_filtered += 1
+            if num_filtered:
+                log.warning("%s: Filtered out %d impure reads",
+                            st.locus.id, num_filtered)
+            st.reads = [r for r, _ in kept]
+            st.spans = [s for _, s in kept]
+
+    # ---- stage 3: genotyping ----
+    def _stage_genotype(self, states):
+        # batch the cluster edit distances across loci
+        cluster_states = []
+        all_pairs = []
+        pair_slices = []
+        from ..kernels.editdist import MAX_OPS
+        for st in states:
+            if st.done:
+                continue
+            if not st.reads:
+                st.result = LocusResult.empty()
+                st.done = True
+                continue
+            st.trs = [read.bases[s[0]:s[1]].decode()
+                      for read, s in zip(st.reads, st.spans)]
+            if st.locus.genotyper == Genotyper.CLUSTER:
+                trs_b = [t.encode() for t in st.trs]
+                n = len(trs_b)
+                start = len(all_pairs)
+                idx_pairs = []
+                for i in range(n):
+                    for j in range(i + 1, n):
+                        if len(trs_b[i]) * len(trs_b[j]) <= MAX_OPS:
+                            idx_pairs.append((i, j))
+                            all_pairs.append((trs_b[i], trs_b[j]))
+                cluster_states.append((st, trs_b, idx_pairs, start))
+
+        pair_eds: List[int] = []
+        if all_pairs:
+            if self.use_device:
+                from ..kernels.editdist import edit_distances_batch
+                pair_eds = edit_distances_batch(all_pairs)
+            else:
+                from ..kernels.align_host import edit_distance
+                pair_eds = [edit_distance(a, b) for a, b in all_pairs]
+
+        cluster_lookup = {}
+        for st, trs_b, idx_pairs, start in cluster_states:
+            n = len(trs_b)
+            dist = np.zeros((n, n), dtype=np.float64)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    dist[i, j] = dist[j, i] = abs(len(trs_b[i])
+                                                  - len(trs_b[j]))
+            for (i, j), d in zip(idx_pairs,
+                                 pair_eds[start:start + len(idx_pairs)]):
+                dist[i, j] = dist[j, i] = d
+            cluster_lookup[id(st)] = dist
+
+        for st in states:
+            if st.done:
+                continue
+            if st.locus.genotyper == Genotyper.SIZE:
+                gt, alleles, classification = genotype_size.genotype(
+                    st.locus.ploidy, st.trs)
+            else:
+                gt, alleles, classification = genotype_cluster.genotype(
+                    st.locus.ploidy, st.trs,
+                    pair_dists=cluster_lookup.get(id(st)))
+            # SNP-flank rescue (tr.rs:70-75)
+            if len(gt) == 2 and abs(gt[0].size - gt[1].size) <= 10:
+                snp_result = genotype_flank.genotype(st.reads, st.trs)
+                if snp_result is not None:
+                    gt, alleles, classification = snp_result
+            st.gt = gt
+            st.allele_seqs = alleles
+            st.classification = classification
+
+    # ---- stage 4: allele annotation ----
+    def _stage_annotate(self, states):
+        requests = []   # (state, allele_i, hmm, motifs, seq)
+        for st in states:
+            if st.done:
+                continue
+            motifs = tuple(replace_invalid_bases(m, "ATCGN").encode()
+                           for m in st.locus.motifs)
+            st.motifs = list(motifs)
+            st.hmm = cached_hmm(motifs)
+            for ai, seq in enumerate(st.allele_seqs):
+                seq = replace_invalid_bases(seq, "ATCG")
+                requests.append((st, ai, seq))
+        if not requests:
+            return
+        paths = self._viterbi([r[0].hmm for r in requests],
+                              [r[2] for r in requests])
+        annos: Dict[Tuple[int, int], Annotation] = {}
+        for (st, ai, seq), labels in zip(requests, paths):
+            hmm, motifs = st.hmm, st.motifs
+            purity = calc_purity(seq.encode(), hmm, motifs, labels)
+            labels = remove_imperfect_motifs(hmm, motifs, labels,
+                                             seq.encode(), 6)
+            spans = label_motifs(hmm, labels)
+            spans = [s for s in spans if s.motif_index < len(motifs)]
+            motif_counts = count_motifs(st.locus.motifs, spans)
+            spans = collapse_labels(spans)
+            annos[(id(st), ai)] = Annotation(
+                labels=spans if spans else None,
+                motif_counts=motif_counts, purity=purity)
+        for st in states:
+            if st.done:
+                continue
+            st.annotations = [annos[(id(st), ai)]
+                              for ai in range(len(st.allele_seqs))]
+
+    def _viterbi(self, hmms, queries):
+        if self.use_device:
+            from ..kernels.viterbi import viterbi_batch_multi
+            return viterbi_batch_multi(hmms, queries)
+        return [h.label(q) for h, q in zip(hmms, queries)]
+
+    # ---- assembly (tr.rs:79-108) ----
+    def _assemble(self, st) -> LocusResult:
+        gt = st.gt
+        classification = st.classification
+        spanning_by_hap = [sum(1 for x in classification if x == 0),
+                           sum(1 for x in classification if x == 1)]
+        meth_by_hap = get_meth(gt, st.reads, st.spans)
+        genotype: List[Allele] = []
+        for ai in range(len(gt)):
+            genotype.append(Allele(
+                seq=st.allele_seqs[ai],
+                annotation=st.annotations[ai],
+                ci=gt[ai].ci,
+                num_spanning=spanning_by_hap[ai],
+                meth=meth_by_hap[ai],
+            ))
+        if len(genotype) != 1 and genotype[0].seq != st.locus.tr \
+                and genotype[1].seq == st.locus.tr:
+            genotype[0], genotype[1] = genotype[1], genotype[0]
+            classification = [1 - c for c in classification]
+        return LocusResult(genotype, st.reads, st.spans, classification)

@@ -124,8 +124,8 @@ def run_genotype(args) -> None:
         aln_scoring=scoring,
     )
 
-    from .batch import make_engine
-    engine = make_engine(getattr(args, "device", "auto"))
+    device_mode = getattr(args, "device", "auto")
+    use_device = device_mode != "host"
 
     genome = FastaReader(args.genome_path)
     n_ok = 0
@@ -136,13 +136,11 @@ def run_genotype(args) -> None:
         log.error("Locus processing: %s", msg)
         n_err += 1
 
-    for locus in iter_loci(args.repeats_path, genome, karyotype,
-                           args.flank_len, genotyper, on_error=on_error):
-        try:
-            results = analyze_tr(locus, params, bam, engine)
-        except Exception as e:
-            log.error("Error analyzing locus %s: %s", locus.id, e)
-            continue
+    from .pipeline import BatchPipeline
+    pipeline = BatchPipeline(params, use_device=use_device)
+    loci = iter_loci(args.repeats_path, genome, karyotype, args.flank_len,
+                     genotyper, on_error=on_error)
+    for locus, results in pipeline.process(loci, bam):
         vcf_writer.write(locus, results)
         if bam_writer is not None:
             write_spanning_reads(bam_writer, locus, results,

@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..hmm.model import build_hmm
 from ..kernels.semiglobal import _semiglobal_scan
-from ..kernels.viterbi import encode_queries, hmm_device_tables, _viterbi_scan
+from ..kernels.viterbi import encode_queries, _stack_tables, _viterbi_scan
 
 
 def diploid_penalty(sizes: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
@@ -44,7 +44,7 @@ def genotype_batch_step(flank_pattern, flank_text, vit_tokens, tables,
     """One sharded genotyping step over a locus/read batch."""
     H, M, FS, LS = _semiglobal_scan(flank_pattern, flank_text, 2, 5, 1)
     preds, valids = _viterbi_scan(vit_tokens, tables,
-                                  len(tables["level_masks"]))
+                                  tables["level_masks"].shape[1])
     pen = diploid_penalty(sizes, counts)
     return H, M, FS, LS, preds, valids, pen
 
@@ -65,7 +65,9 @@ def make_sharded_step(n_devices: int):
         rng.integers(65, 85, (B, T_len)), dtype=jnp.uint8)
 
     hmm = build_hmm([b"CAG"])
-    tables = hmm_device_tables(hmm)
+    hmm2 = build_hmm([b"CAG", b"A"])  # heterogeneous-topology batch
+    tables_np, _ = _stack_tables([hmm, hmm2] * (B // 2))
+    tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
     toks, _ = encode_queries(["CAG" * 8] * B)
     vit_tokens = jnp.asarray(toks[:B])
 
@@ -77,7 +79,7 @@ def make_sharded_step(n_devices: int):
         jax.device_put(flank_pattern, batch_sharded),
         jax.device_put(flank_text, batch_sharded),
         jax.device_put(vit_tokens, batch_sharded),
-        jax.tree.map(lambda x: jax.device_put(x, replicated), tables),
+        jax.tree.map(lambda x: jax.device_put(x, batch_sharded), tables),
         jax.device_put(sizes, batch_sharded),
         jax.device_put(counts, batch_sharded),
     )

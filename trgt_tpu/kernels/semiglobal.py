@@ -155,20 +155,24 @@ def _bucket(n: int, minimum: int = 64) -> int:
     return size
 
 
-def flank_align_batch(pattern: bytes, seqs: Sequence[bytes], mism: int,
-                      gapo: int, gape: int):
-    """Batched ends-free alignment of one pattern against many texts.
+def flank_align_batch_multi(patterns: Sequence[bytes],
+                            seqs: Sequence[bytes], mism: int, gapo: int,
+                            gape: int):
+    """Batched ends-free alignment with a per-item pattern (all patterns
+    must have equal length — flank pieces always do).
 
-    Returns list of (score, n_matches, (text_start, text_end)).
-    """
+    Returns list of (score, n_matches, (text_start, text_end))."""
     if not seqs:
         return []
+    assert len(patterns) == len(seqs)
+    plen = len(patterns[0])
+    assert all(len(p) == plen for p in patterns)
     T = _bucket(max(len(s) for s in seqs))
     B = _bucket(len(seqs), minimum=8)
     text_toks = np.zeros((B, T), dtype=np.uint8)
     text_toks[:len(seqs)] = _tokenize(seqs, T, pad=0)
-    pattern_toks = np.broadcast_to(
-        _tokenize([pattern], len(pattern), pad=0), (B, len(pattern)))
+    pattern_toks = np.zeros((B, plen), dtype=np.uint8)
+    pattern_toks[:len(patterns)] = _tokenize(patterns, plen, pad=0)
 
     lens = np.array([len(s) for s in seqs], dtype=np.int64)
     H_fin, M_fin, FS_fin, LS_fin = _semiglobal_scan(
@@ -191,3 +195,10 @@ def flank_align_batch(pattern: bytes, seqs: Sequence[bytes], mism: int,
         else:
             results.append((score, matches, (fs, ls + 1)))
     return results
+
+
+def flank_align_batch(pattern: bytes, seqs: Sequence[bytes], mism: int,
+                      gapo: int, gape: int):
+    """Batched ends-free alignment of one pattern against many texts."""
+    return flank_align_batch_multi([pattern] * len(seqs), seqs, mism, gapo,
+                                   gape)

@@ -2,25 +2,24 @@
 per-sequence Rust Viterbi at ref src/hmm/hmm_model.rs:54-156).
 
 Design (TPU-first):
-  * One locus's HMM topology is compiled to dense tables (S states, E max
-    in-degree).  A batch of B sequences (alleles or reads), padded to L
-    tokens, runs as ONE device program.
-  * The position loop is a `lax.scan`; each step computes all emitting
-    states via one-hot gather formulated as (B,S)×(S,S) matmuls (MXU) or
-    direct gathers (VPU), then resolves silent states level-by-level —
-    the silent levels are a static property of the topology, so the whole
-    step is trace-once control flow.
-  * Per-position argmax predecessors stream out as an (L,B,S) int32 array;
-    traceback is a cheap linear host pass (matches the reference's
-    first-max tie-breaking because jnp.argmax picks the first maximum).
+  * Dense per-item transition tables: every batch row carries its own
+    (S, E) in-edge tables, so sequences labelled by DIFFERENT HMMs
+    (different motif sets → different topologies) run in ONE device
+    program — tables are padded to the batch maxima and the whole locus
+    batch shares a single dispatch.
+  * The position loop is a `lax.scan`; each step gathers in-edge scores
+    (B, S, E), takes a first-wins argmax (reference tie-breaking), then
+    resolves silent states level-by-level via per-item level masks.
+  * Per-position argmax predecessors stream out as an (L, B, S) uint8
+    array; traceback is a linear host pass.
 
 Padding semantics: the DP is causal, so predecessors at positions < len
-are unaffected by padding; traceback simply starts at each sequence's own
-final position.
+are unaffected by padding; traceback starts at each sequence's own final
+position.
 """
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -32,79 +31,117 @@ from ..hmm.model import Hmm
 NEG = -1e30
 
 
-def hmm_device_tables(hmm: Hmm, dtype=jnp.float32):
-    """Extract dense device tables from a host Hmm (cached per instance)."""
-    cached = getattr(hmm, "_device_tables", None)
+def hmm_dense_numpy(hmm: Hmm) -> Dict[str, np.ndarray]:
+    """Host-side dense tables for one HMM (cached on the instance)."""
+    cached = getattr(hmm, "_np_tables", None)
     if cached is not None:
         return cached
     t = hmm.dense_tables()
-    in_idx = jnp.asarray(t["in_idx"], dtype=jnp.int32)
-    in_lp = jnp.asarray(
-        np.where(np.isneginf(t["in_lp"]), NEG, t["in_lp"]), dtype=dtype)
-    em = jnp.asarray(
-        np.where(np.isneginf(t["em"]), NEG, t["em"]), dtype=dtype)
-    silent = jnp.asarray(t["silent"])
-    has_edges = jnp.asarray(t["has_edges"])
-    # static level masks
+    levels = t["silent_levels"]
     S = hmm.num_states
-    level_masks = []
-    for level in t["silent_levels"]:
-        mask = np.zeros(S, dtype=bool)
-        mask[level] = True
-        level_masks.append(jnp.asarray(mask))
-    tables = dict(in_idx=in_idx, in_lp=in_lp, em=em, silent=silent,
-                  has_edges=has_edges, level_masks=tuple(level_masks))
-    hmm._device_tables = tables
+    level_masks = np.zeros((len(levels), S), dtype=bool)
+    for i, level in enumerate(levels):
+        level_masks[i, level] = True
+    tables = dict(
+        in_idx=t["in_idx"].astype(np.int32),
+        in_lp=np.where(np.isneginf(t["in_lp"]), NEG,
+                       t["in_lp"]).astype(np.float32),
+        em=np.where(np.isneginf(t["em"]), NEG, t["em"]).astype(np.float32),
+        silent=t["silent"],
+        has_edges=t["has_edges"],
+        level_masks=level_masks,
+    )
+    hmm._np_tables = tables
     return tables
 
 
-def _edge_max(col: jnp.ndarray, in_idx: jnp.ndarray,
-              in_lp: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """col: (B,S) scores; returns (best (B,S), pred (B,S)) over in-edges."""
-    # gather: (B, S, E)
-    cand = col[:, in_idx] + in_lp[None, :, :]
-    best_e = jnp.argmax(cand, axis=2)                     # first max wins
-    best = jnp.take_along_axis(cand, best_e[:, :, None], axis=2)[:, :, 0]
-    pred = in_idx[jnp.arange(in_idx.shape[0])[None, :], best_e]
-    return best, pred
+def _stack_tables(hmms: Sequence[Hmm]):
+    """Stack per-item tables padded to batch maxima.
+
+    Returns dict of arrays with leading batch dim + n_levels."""
+    per = [hmm_dense_numpy(h) for h in hmms]
+    B = len(per)
+    S = max(p["em"].shape[0] for p in per)
+    E = max(p["in_idx"].shape[1] for p in per)
+    L = max(p["level_masks"].shape[0] for p in per)
+    in_idx = np.zeros((B, S, E), dtype=np.int32)
+    in_lp = np.full((B, S, E), NEG, dtype=np.float32)
+    em = np.full((B, S, 5), NEG, dtype=np.float32)
+    silent = np.zeros((B, S), dtype=bool)
+    has_edges = np.zeros((B, S), dtype=bool)
+    level_masks = np.zeros((B, L, S), dtype=bool)
+    no_edge_emit = np.zeros((B, S), dtype=bool)
+    for b, p in enumerate(per):
+        s, e = p["in_idx"].shape
+        in_idx[b, :s, :e] = p["in_idx"]
+        in_lp[b, :s, :e] = p["in_lp"]
+        em[b, :s] = p["em"]
+        silent[b, :s] = p["silent"]
+        # padding states are treated as silent with no edges (never valid)
+        silent[b, s:] = True
+        has_edges[b, :s] = p["has_edges"]
+        lm = p["level_masks"]
+        level_masks[b, :lm.shape[0], :s] = lm
+        no_edge_emit[b, :s] = (~p["has_edges"]) & (~p["silent"])
+    return dict(in_idx=in_idx, in_lp=in_lp, em=em, silent=silent,
+                has_edges=has_edges, level_masks=level_masks,
+                no_edge_emit=no_edge_emit), len(per[0]["level_masks"]) if B else 0
+
+
+def _gather_edges(col, in_idx):
+    """col: (B,S); in_idx: (B,S,E) → (B,S,E) gathered scores."""
+    B, S, E = in_idx.shape
+    flat = jnp.take_along_axis(col, in_idx.reshape(B, S * E), axis=1)
+    return flat.reshape(B, S, E)
 
 
 @functools.partial(jax.jit, static_argnames=("num_levels",))
 def _viterbi_scan(tokens, tables, num_levels: int):
-    """tokens: (B, L) int32 of encoded symbols. Returns preds (L, B, S)
-    int32 and valid (L, B, S) bool."""
+    """tokens: (B, L) int32. Per-item tables (see _stack_tables).
+    Returns preds (L, B, S) int32 and valid (L, B, S) bool."""
     in_idx, in_lp, em = tables["in_idx"], tables["in_lp"], tables["em"]
     silent, has_edges = tables["silent"], tables["has_edges"]
     level_masks = tables["level_masks"]
+    no_edge_emit = tables["no_edge_emit"]
     B, L = tokens.shape
-    S = em.shape[0]
+    S = em.shape[1]
 
-    no_edges = ~has_edges
+    def edge_max(col):
+        cand = _gather_edges(col, in_idx) + in_lp      # (B,S,E)
+        best_e = jnp.argmax(cand, axis=2)              # first max wins
+        best = jnp.take_along_axis(cand, best_e[:, :, None],
+                                   axis=2)[:, :, 0]
+        pred = jnp.take_along_axis(in_idx, best_e[:, :, None],
+                                   axis=2)[:, :, 0]
+        return best, pred
 
     def resolve_silent(col, pred, valid):
-        for mask in level_masks:
-            best, p = _edge_max(col, in_idx, in_lp)
-            upd = mask[None, :]
+        for li in range(num_levels):
+            mask = level_masks[:, li, :]               # (B,S)
+            best, p = edge_max(col)
             newv = best > NEG / 2
-            col = jnp.where(upd, jnp.where(newv, best, NEG), col)
-            pred = jnp.where(upd & newv, p, pred)
-            valid = jnp.where(upd, newv, valid)
+            col = jnp.where(mask, jnp.where(newv, best, NEG), col)
+            pred = jnp.where(mask & newv, p, pred)
+            valid = jnp.where(mask, newv, valid)
         return col, pred, valid
 
+    def em_at(sym):
+        # em: (B,S,5); sym: (B,) → (B,S)
+        return jnp.take_along_axis(
+            em, sym[:, None, None].astype(jnp.int32), axis=2)[:, :, 0]
+
     # position 0: only edge-less emitting states seed (the start state)
-    sym0 = tokens[:, 0]
-    em0 = em[:, :].T[sym0]                       # (B, S)
-    col0 = jnp.where((no_edges & ~silent)[None, :], em0, NEG)
+    em0 = em_at(tokens[:, 0])
+    col0 = jnp.where(no_edge_emit, em0, NEG)
     pred0 = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :],
                              (B, S))
-    valid0 = (no_edges & ~silent)[None, :] & (col0 > NEG / 2)
+    valid0 = no_edge_emit & (col0 > NEG / 2)
     col0, pred0, valid0 = resolve_silent(col0, pred0, valid0)
 
     def step(col_prev, sym_t):
-        best, pred = _edge_max(col_prev, in_idx, in_lp)
-        em_t = em.T[sym_t]                       # (B, S)
-        col = jnp.where(silent[None, :], NEG, best + em_t)
-        valid = (~silent & has_edges)[None, :] & (col > NEG / 2)
+        best, pred = edge_max(col_prev)
+        col = jnp.where(silent, NEG, best + em_at(sym_t))
+        valid = (~silent) & has_edges & (col > NEG / 2)
         col = jnp.where(valid, col, NEG)
         col, pred, valid = resolve_silent(col, pred, valid)
         return col, (pred, valid)
@@ -124,39 +161,53 @@ def _bucket(n: int, minimum: int = 32) -> int:
     return size
 
 
+_ENC_TABLE = np.zeros(256, dtype=np.int32)
+for _i, _c in enumerate(b"#ATCG"):
+    _ENC_TABLE[_c] = _i
+
+
 def encode_queries(queries: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
     """'#'+q+'#' encoded 0..4, padded with 0s into bucketed shapes.
     Returns (tokens, lengths)."""
-    table = np.zeros(256, dtype=np.int32)
-    for i, c in enumerate(b"#ATCG"):
-        table[c] = i
     lens = np.array([len(q) + 2 for q in queries], dtype=np.int32)
     L = _bucket(int(lens.max()))
     B = _bucket(len(queries), minimum=8)
     toks = np.zeros((B, L), dtype=np.int32)
     for b, q in enumerate(queries):
         arr = np.frombuffer(("#" + q + "#").encode(), dtype=np.uint8)
-        toks[b, :len(arr)] = table[arr]
+        toks[b, :len(arr)] = _ENC_TABLE[arr]
     return toks, lens
+
+
+def viterbi_batch_multi(hmms: Sequence[Hmm],
+                        queries: Sequence[str]) -> List[List[int]]:
+    """Device-batched [hmms[i].label(queries[i])] — hmms may differ."""
+    assert len(hmms) == len(queries)
+    nonempty = [(i, h, q) for i, (h, q) in enumerate(zip(hmms, queries))
+                if q]
+    out: List[List[int]] = [[] for _ in queries]
+    if not nonempty:
+        return out
+    toks, lens = encode_queries([q for _, _, q in nonempty])
+    B = toks.shape[0]
+    batch_hmms = [h for _, h, _ in nonempty]
+    # pad the batch with copies of the first HMM
+    batch_hmms = batch_hmms + [batch_hmms[0]] * (B - len(batch_hmms))
+    tables_np, _ = _stack_tables(batch_hmms)
+    num_levels = tables_np["level_masks"].shape[1]
+    tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
+    preds, valids = _viterbi_scan(jnp.asarray(toks), tables, num_levels)
+    preds = np.asarray(preds)
+    valids = np.asarray(valids)
+    for b, (i, h, q) in enumerate(nonempty):
+        out[i] = _traceback(h, preds[:, b, :], valids[:, b, :],
+                            int(lens[b]))
+    return out
 
 
 def viterbi_batch(hmm: Hmm, queries: Sequence[str]) -> List[List[int]]:
     """Device-batched version of [hmm.label(q) for q in queries]."""
-    nonempty = [(i, q) for i, q in enumerate(queries) if q]
-    out: List[List[int]] = [[] for _ in queries]
-    if not nonempty:
-        return out
-    toks, lens = encode_queries([q for _, q in nonempty])
-    tables = hmm_device_tables(hmm)
-    preds, valids = _viterbi_scan(jnp.asarray(toks), tables,
-                                  len(tables["level_masks"]))
-    preds = np.asarray(preds)
-    valids = np.asarray(valids)
-    S = hmm.num_states
-    for b, (i, q) in enumerate(nonempty):
-        out[i] = _traceback(hmm, preds[:, b, :], valids[:, b, :],
-                            int(lens[b]))
-    return out
+    return viterbi_batch_multi([hmm] * len(queries), queries)
 
 
 def _traceback(hmm: Hmm, preds: np.ndarray, valids: np.ndarray,
