@@ -233,30 +233,30 @@ def generate_image(plot: PipePlot, path: str) -> None:
         with open(path, "w") as fh:
             fh.write(svg)
     elif lower.endswith(".png"):
-        _render_png(svg, path)
+        _render_png(svg, plot, path)
     elif lower.endswith(".pdf"):
-        _render_pdf(svg, path)
+        _render_pdf(svg, plot, path)
     else:
         raise ValueError(f"Unsupported image format: {path}")
 
 
-def _render_png(svg: str, path: str) -> None:
+def _render_png(svg: str, plot: PipePlot, path: str) -> None:
     try:
         import cairosvg
         cairosvg.svg2png(bytestring=svg.encode(), write_to=path)
         return
     except ImportError:
         pass
-    from .raster import rasterize_svg_to_png
-    rasterize_svg_to_png(svg, path)
+    from .raster import rasterize_plot_to_png
+    rasterize_plot_to_png(plot, path)
 
 
-def _render_pdf(svg: str, path: str) -> None:
+def _render_pdf(svg: str, plot: PipePlot, path: str) -> None:
     try:
         import cairosvg
         cairosvg.svg2pdf(bytestring=svg.encode(), write_to=path)
         return
     except ImportError:
         pass
-    from .raster import rasterize_svg_to_pdf
-    rasterize_svg_to_pdf(svg, path)
+    from .raster import rasterize_plot_to_pdf
+    rasterize_plot_to_pdf(plot, path)
