@@ -12,6 +12,8 @@ from .bgzf import BgzfReader
 
 SEQ_NT16 = "=ACMGRSVTWYHKDBN"
 CIGAR_OPS = "MIDNSHP=X"
+# packed-byte → two-character decode table (fast seq decoding)
+_PAIR_TABLE = [SEQ_NT16[b >> 4] + SEQ_NT16[b & 0xF] for b in range(256)]
 
 FLAG_UNMAPPED = 0x4
 FLAG_REVERSE = 0x10
@@ -145,13 +147,8 @@ def _parse_record(buf: bytes) -> Tuple[BamRecord, int]:
         cigar.append((v >> 4, CIGAR_OPS[v & 0xF]))
         p += 4
     nbytes = (l_seq + 1) // 2
-    seq_chars = []
     raw_seq = buf[p:p + nbytes]
-    for i in range(l_seq):
-        b = raw_seq[i >> 1]
-        code = (b >> 4) if i % 2 == 0 else (b & 0xF)
-        seq_chars.append(SEQ_NT16[code])
-    seq = "".join(seq_chars)
+    seq = "".join(map(_PAIR_TABLE.__getitem__, raw_seq))[:l_seq]
     p += nbytes
     qual = buf[p:p + l_seq]
     p += l_seq

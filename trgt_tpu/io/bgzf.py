@@ -93,7 +93,14 @@ class BgzfReader:
         return bytes(out)
 
     def read_all(self) -> bytes:
-        """Decompress the whole stream (fast path for whole-file scans)."""
+        """Decompress the whole stream (fast path for whole-file scans).
+        Uses the native C++ codec when available."""
+        from .native import bgzf_read_file
+        path = getattr(self._fh, "name", None)
+        if isinstance(path, str):
+            data = bgzf_read_file(path)
+            if data is not None:
+                return data
         self._fh.seek(0)
         raw = self._fh.read()
         out = []

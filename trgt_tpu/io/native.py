@@ -1,0 +1,116 @@
+"""ctypes loader for the native BGZF/BAM codec (native/bamcodec.cpp).
+
+Builds the shared library on first use (g++ -O3 -lz) and caches it next
+to the source; all callers fall back to the pure-Python implementations
+when the toolchain or build is unavailable."""
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+log = logging.getLogger("trgt")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native", "bamcodec.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "libbamcodec.so")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+             "-o", _SO, "-lz"],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        log.debug("native codec build failed: %s", e)
+        return False
+
+
+def get_lib():
+    """Returns the loaded library or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or \
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not os.path.exists(_SRC) or not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            log.debug("native codec load failed: %s", e)
+            return None
+        lib.trgt_bgzf_read_file.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.trgt_bgzf_read_file.restype = ctypes.c_int
+        lib.trgt_bgzf_decompress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.trgt_bgzf_decompress.restype = ctypes.c_int
+        lib.trgt_bgzf_compress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.trgt_bgzf_compress.restype = ctypes.c_int
+        lib.trgt_buf_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.trgt_decode_seq.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_char_p]
+        _lib = lib
+        return _lib
+
+
+def bgzf_read_file(path: str):
+    """Decompress a whole BGZF file natively; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_size = ctypes.c_size_t()
+    rc = lib.trgt_bgzf_read_file(path.encode(), ctypes.byref(out),
+                                 ctypes.byref(out_size))
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out, out_size.value)
+    finally:
+        lib.trgt_buf_free(out)
+
+
+def bgzf_compress(data: bytes, level: int = 6, add_eof: bool = True):
+    """BGZF-compress a buffer natively; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_size = ctypes.c_size_t()
+    rc = lib.trgt_bgzf_compress(src, len(data), level,
+                                1 if add_eof else 0, ctypes.byref(out),
+                                ctypes.byref(out_size))
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out, out_size.value)
+    finally:
+        lib.trgt_buf_free(out)
+
+
+def decode_seq(packed: bytes, l_seq: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = (ctypes.c_uint8 * len(packed)).from_buffer_copy(packed)
+    out = ctypes.create_string_buffer(l_seq)
+    lib.trgt_decode_seq(src, l_seq, out)
+    return out.raw.decode("ascii")
