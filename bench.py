@@ -21,6 +21,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent XLA compilation cache: TPU (re)compiles dominate cold-start
+# wall time, especially over a remote-compile tunnel.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+try:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 EXAMPLE = "/root/reference/example"
 N_LOCI = 64
 
@@ -54,16 +67,9 @@ def run_pipeline(workdir: str, device_mode: str) -> float:
 def main():
     workdir = tempfile.mkdtemp(prefix="trgt_bench_")
     try:
-        # warmup (compiles device kernels; excluded from timing)
-        warm = tempfile.mkdtemp(prefix="trgt_warm_", dir=workdir)
-        from trgt_tpu.cli import main as cli_main
-        make_catalog(os.path.join(warm, "repeats.bed"), 2)
-        cli_main(["genotype",
-                  "--genome", os.path.join(EXAMPLE, "reference.fasta"),
-                  "--repeats", os.path.join(warm, "repeats.bed"),
-                  "--reads", os.path.join(EXAMPLE, "sample.bam"),
-                  "--output-prefix", os.path.join(warm, "w"),
-                  "--device", "auto"])
+        # warmup with IDENTICAL shapes (compiles device kernels; excluded
+        # from timing — subsequent runs hit the persistent XLA cache)
+        run_pipeline(workdir, "auto")
 
         device_lps = run_pipeline(workdir, "auto")
         host_lps = run_pipeline(workdir, "host")
