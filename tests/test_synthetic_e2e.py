@@ -1,0 +1,108 @@
+"""End-to-end tests on synthetic multi-locus datasets: het/hom calls,
+expansions, multiple loci, both genotypers, device and host paths."""
+
+import os
+
+import pytest
+
+from trgt_tpu.cli import main
+from trgt_tpu.io.bgzf import BgzfReader
+
+from synth import SynthLocus, make_dataset
+
+
+def run_genotype(tmp_path, fasta, bed, bam, extra=()):
+    prefix = str(tmp_path / "out")
+    rc = main(["genotype", "--genome", fasta, "--repeats", bed,
+               "--reads", bam, "--output-prefix", prefix, *extra])
+    assert rc == 0
+    data = BgzfReader(prefix + ".vcf.gz").read_all().decode()
+    records = {}
+    for line in data.splitlines():
+        if line.startswith("#"):
+            continue
+        cols = line.split("\t")
+        info = dict(kv.split("=") for kv in cols[7].split(";"))
+        sample = dict(zip(cols[8].split(":"), cols[9].split(":")))
+        records[info["TRID"]] = (cols, sample)
+    return records
+
+
+def test_multi_locus_calls(tmp_path):
+    loci = [
+        SynthLocus("HOM", "CAG", 15, (15, 15)),
+        SynthLocus("HET", "CAG", 10, (10, 20)),
+        SynthLocus("EXP", "GGC", 8, (8, 60)),
+        SynthLocus("REF", "AT", 12, (12, 12)),
+    ]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=20)
+    records = run_genotype(tmp_path, fasta, bed, bam)
+    assert set(records) == {"HOM", "HET", "EXP", "REF"}
+
+    cols, s = records["HOM"]
+    assert s["GT"] == "0/0"
+    assert s["AL"] == "45,45"
+    assert s["MC"] == "15,15"
+
+    cols, s = records["HET"]
+    assert s["GT"] == "0/1"
+    assert s["AL"] == "30,60"
+    assert s["MC"] == "10,20"
+    assert s["SD"] == "10,10"
+    assert s["AP"] == "1.000000,1.000000"
+
+    cols, s = records["EXP"]
+    assert s["GT"] == "0/1"
+    assert s["AL"] == "24,180"
+    assert s["MC"] == "8,60"
+
+    cols, s = records["REF"]
+    assert s["GT"] == "0/0"
+    assert cols[4] == "."  # no ALT allele
+
+
+def test_cluster_genotyper_on_synthetic(tmp_path):
+    loci = [SynthLocus("HET", "CAG", 10, (10, 20))]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=20)
+    records = run_genotype(tmp_path, fasta, bed, bam,
+                           extra=("--genotyper", "cluster"))
+    cols, s = records["HET"]
+    assert s["GT"] == "0/1"
+    assert s["AL"] == "30,60"
+
+
+def test_host_device_identical_output(tmp_path):
+    loci = [SynthLocus("A", "CAG", 12, (12, 18)),
+            SynthLocus("B", "AAAG", 10, (10, 10))]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=16)
+    dev = run_genotype(tmp_path / "dev" if (tmp_path / "dev").mkdir()
+                       is None else tmp_path, fasta, bed, bam,
+                       extra=("--device", "auto"))
+    host_dir = tmp_path / "host"
+    host_dir.mkdir(exist_ok=True)
+    host = run_genotype(host_dir, fasta, bed, bam,
+                        extra=("--device", "host"))
+    for key in dev:
+        assert dev[key][1] == host[key][1]
+
+
+def test_karyotype_xy_haploid(tmp_path):
+    loci = [SynthLocus("X1", "CAG", 10, (14, 14))]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=10,
+                                   chrom="chrX")
+    records = run_genotype(tmp_path, fasta, bed, bam,
+                           extra=("--karyotype", "XY"))
+    cols, s = records["X1"]
+    assert s["GT"] == "1"
+    assert s["AL"] == "42"
+    assert s["MC"] == "14"
+
+
+def test_karyotype_zero_ploidy_skipped(tmp_path):
+    loci = [SynthLocus("Y1", "CAG", 10, (10, 10))]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=10,
+                                   chrom="chrY")
+    records = run_genotype(tmp_path, fasta, bed, bam)  # XX karyotype
+    cols, s = records["Y1"]
+    assert s["GT"] == "./."
+    assert s["AL"] == "."

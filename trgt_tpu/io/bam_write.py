@@ -39,10 +39,57 @@ def encode_aux(tag: str, typ: str, value) -> bytes:
     raise ValueError(f"Unknown aux type: {typ}")
 
 
+class BaiBuilder:
+    """Builds a .bai index for records written in sorted order
+    (replaces `samtools index` for our own sorted outputs)."""
+
+    def __init__(self, n_ref: int):
+        self.bins = [dict() for _ in range(n_ref)]     # bin -> [chunks]
+        self.linear = [dict() for _ in range(n_ref)]   # window -> min voff
+
+    def add(self, ref_id: int, pos: int, ref_end: int, voff_start: int,
+            voff_end: int) -> None:
+        if ref_id < 0:
+            return
+        b = reg2bin(pos, max(ref_end, pos + 1))
+        chunks = self.bins[ref_id].setdefault(b, [])
+        if chunks and chunks[-1][1] == voff_start:
+            chunks[-1] = (chunks[-1][0], voff_end)
+        else:
+            chunks.append((voff_start, voff_end))
+        for w in range(pos >> 14, (max(ref_end, pos + 1) - 1 >> 14) + 1):
+            cur = self.linear[ref_id].get(w)
+            if cur is None or voff_start < cur:
+                self.linear[ref_id][w] = voff_start
+
+    def write(self, path: str) -> None:
+        out = [b"BAI\x01", struct.pack("<i", len(self.bins))]
+        for bins, linear in zip(self.bins, self.linear):
+            out.append(struct.pack("<i", len(bins)))
+            for bin_id in sorted(bins):
+                chunks = bins[bin_id]
+                out.append(struct.pack("<Ii", bin_id, len(chunks)))
+                for beg, end in chunks:
+                    out.append(struct.pack("<QQ", beg, end))
+            n_intv = max(linear, default=-1) + 1
+            out.append(struct.pack("<i", n_intv))
+            filled = 0
+            for w in range(n_intv):
+                v = linear.get(w)
+                if v is not None:
+                    filled = v
+                out.append(struct.pack("<Q", v if v is not None else filled))
+        with open(path, "wb") as fh:
+            fh.write(b"".join(out))
+
+
 class BamWriter:
     def __init__(self, path: str, header_text: str,
-                 references: List[Tuple[str, int]]):
+                 references: List[Tuple[str, int]],
+                 build_index: bool = False):
         self._bgzf = BgzfWriter(path)
+        self._path = path
+        self._bai = BaiBuilder(len(references)) if build_index else None
         self.header = BamHeader(header_text, references)
         text = header_text.encode("utf-8")
         body = b"BAM\x01" + struct.pack("<i", len(text)) + text
@@ -81,10 +128,17 @@ class BamWriter:
         rec += bytes(qual)
         for tag, typ, value in aux:
             rec += encode_aux(tag, typ, value)
+        voff_start = self._bgzf.tell_virtual()
         self._bgzf.write(struct.pack("<i", len(rec)) + rec)
+        if self._bai is not None:
+            ref_len = sum(length for length, op in cigar if op in "MDN=X")
+            self._bai.add(ref_id, pos, pos + ref_len,
+                          voff_start, self._bgzf.tell_virtual())
 
     def close(self):
         self._bgzf.close()
+        if self._bai is not None:
+            self._bai.write(self._path + ".bai")
 
     def __enter__(self):
         return self

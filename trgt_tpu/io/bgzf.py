@@ -142,6 +142,12 @@ class BgzfWriter:
             self._owns = False
         self._level = level
         self._buf = bytearray()
+        self._compressed_bytes = 0
+
+    def tell_virtual(self) -> int:
+        """Virtual file offset of the next byte to be written (valid when
+        the pending buffer is < 64KiB, which write() guarantees)."""
+        return (self._compressed_bytes << 16) | len(self._buf)
 
     def write(self, data: bytes):
         self._buf += data
@@ -158,7 +164,9 @@ class BgzfWriter:
         extra = struct.pack("<2BHH", 66, 67, 2, bsize - 1)
         footer = struct.pack("<II", zlib.crc32(bytes(data)) & 0xFFFFFFFF,
                              len(data))
-        self._fh.write(header + extra + cdata + footer)
+        block = header + extra + cdata + footer
+        self._fh.write(block)
+        self._compressed_bytes += len(block)
 
     def flush(self):
         if self._buf:
