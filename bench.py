@@ -64,9 +64,38 @@ def run_pipeline(workdir: str, device_mode: str) -> float:
     return N_LOCI / elapsed
 
 
+def _device_reachable(timeout_s: float = 120.0) -> bool:
+    """Probe the default JAX backend in a subprocess — a wedged remote-TPU
+    tunnel hangs jax.devices() indefinitely, which must not take the bench
+    down with it."""
+    import subprocess
+    code = ("import jax; jax.devices(); "
+            "import jax.numpy as jnp; "
+            "(jnp.ones((8,8))@jnp.ones((8,8))).block_until_ready(); "
+            "print('ok')")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, timeout=timeout_s)
+        return b"ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     workdir = tempfile.mkdtemp(prefix="trgt_bench_")
     try:
+        device_ok = _device_reachable()
+        if not device_ok:
+            host_lps = run_pipeline(workdir, "host")
+            print(json.dumps({
+                "metric": "genotype loci/sec (example-locus replay, e2e; "
+                          "DEVICE UNREACHABLE, host fallback)",
+                "value": round(host_lps, 3),
+                "unit": "loci/sec/chip",
+                "vs_baseline": 1.0,
+            }))
+            return
+
         # warmup with IDENTICAL shapes (compiles device kernels; excluded
         # from timing — subsequent runs hit the persistent XLA cache)
         run_pipeline(workdir, "auto")

@@ -31,3 +31,13 @@ def test_pairwise_matrix_with_skip_bound():
             else:
                 assert m[i, j] == edit_distance(trs[i], trs[j])
             assert m[i, j] == m[j, i]
+
+
+def test_pallas_edit_matches_host():
+    from trgt_tpu.kernels.editdist_pallas import edit_distances_batch_pallas
+    rng = random.Random(21)
+    pairs = [(random_dna(rng, 1, 90), random_dna(rng, 1, 90))
+             for _ in range(25)]
+    got = edit_distances_batch_pallas(pairs)
+    want = [edit_distance(a, b) for a, b in pairs]
+    assert got == want

@@ -71,3 +71,20 @@ def test_device_targeted_scoring():
     for text, (score, matches, span) in zip(texts, results):
         h_score, _, _, _ = align_ends_free_text(pattern, text, 1, 0, 1)
         assert score == h_score
+
+
+def test_pallas_matches_jnp_kernel():
+    from trgt_tpu.kernels.semiglobal import flank_align_batch_multi
+    from trgt_tpu.kernels.semiglobal_pallas import flank_align_batch_pallas
+    rng = random.Random(31)
+    pattern = random_dna(rng, 40, 40)
+    texts = []
+    for _ in range(12):
+        left = random_dna(rng, 0, 25)
+        right = random_dna(rng, 0, 25)
+        mid = mutate(rng, pattern, 0.12)
+        texts.append(left + mid + right)
+    patterns = [pattern] * len(texts)
+    jnp_res = flank_align_batch_multi(patterns, texts, 2, 5, 1)
+    pal_res = flank_align_batch_pallas(patterns, texts, 2, 5, 1)
+    assert jnp_res == pal_res
