@@ -115,6 +115,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-allele-reads", dest="max_allele_reads", type=int,
                    default=None)
     p.add_argument("--squished", action="store_true")
+    p.add_argument("--font-family", dest="font_family", default=None)
 
     return parser
 
@@ -146,6 +147,8 @@ def init_logger(verbosity: int) -> None:
 
 
 def main(argv=None) -> int:
+    from .jax_setup import setup_jax_cache
+    setup_jax_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     init_logger(args.verbose)

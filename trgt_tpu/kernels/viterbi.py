@@ -88,31 +88,37 @@ def _stack_tables(hmms: Sequence[Hmm]):
                 no_edge_emit=no_edge_emit), len(per[0]["level_masks"]) if B else 0
 
 
-def _gather_edges(col, in_idx):
-    """col: (B,S); in_idx: (B,S,E) → (B,S,E) gathered scores."""
-    B, S, E = in_idx.shape
-    flat = jnp.take_along_axis(col, in_idx.reshape(B, S * E), axis=1)
-    return flat.reshape(B, S, E)
-
-
 @functools.partial(jax.jit, static_argnames=("num_levels",))
 def _viterbi_scan(tokens, tables, num_levels: int):
     """tokens: (B, L) int32. Per-item tables (see _stack_tables).
-    Returns preds (L, B, S) int32 and valid (L, B, S) bool."""
+    Returns preds (L, B, S) int32 and valid (L, B, S) bool.
+
+    Gathers are expressed as one-hot contractions (MXU) rather than
+    dynamic gathers — dynamic gathers inside the scan body compile
+    pathologically slowly on TPU (~8 min vs ~2 s)."""
     in_idx, in_lp, em = tables["in_idx"], tables["in_lp"], tables["em"]
     silent, has_edges = tables["silent"], tables["has_edges"]
     level_masks = tables["level_masks"]
     no_edge_emit = tables["no_edge_emit"]
     B, L = tokens.shape
     S = em.shape[1]
+    E = in_idx.shape[2]
+
+    # one-hot gather matrices: G[b, e, s, src] = 1 iff in_idx[b,s,e]==src
+    G = jax.nn.one_hot(
+        jnp.transpose(in_idx, (0, 2, 1)), S, dtype=jnp.float32)
 
     def edge_max(col):
-        cand = _gather_edges(col, in_idx) + in_lp      # (B,S,E)
-        best_e = jnp.argmax(cand, axis=2)              # first max wins
-        best = jnp.take_along_axis(cand, best_e[:, :, None],
-                                   axis=2)[:, :, 0]
-        pred = jnp.take_along_axis(in_idx, best_e[:, :, None],
-                                   axis=2)[:, :, 0]
+        # cand[b,s,e] = col[b, in_idx[b,s,e]] + in_lp[b,s,e]
+        gathered = jnp.einsum("besk,bk->bes", G, col,
+                              preferred_element_type=jnp.float32)
+        cand = jnp.transpose(gathered, (0, 2, 1)) + in_lp   # (B,S,E)
+        best_e = jnp.argmax(cand, axis=2)                   # first max wins
+        best = jnp.max(cand, axis=2)
+        # pred = in_idx[b,s,best_e] via small select chain over E
+        pred = in_idx[:, :, 0]
+        for e in range(1, E):
+            pred = jnp.where(best_e == e, in_idx[:, :, e], pred)
         return best, pred
 
     def resolve_silent(col, pred, valid):
@@ -126,9 +132,10 @@ def _viterbi_scan(tokens, tables, num_levels: int):
         return col, pred, valid
 
     def em_at(sym):
-        # em: (B,S,5); sym: (B,) → (B,S)
-        return jnp.take_along_axis(
-            em, sym[:, None, None].astype(jnp.int32), axis=2)[:, :, 0]
+        # em: (B,S,5); sym: (B,) → (B,S) via one-hot contraction
+        sym_oh = jax.nn.one_hot(sym, 5, dtype=jnp.float32)
+        return jnp.einsum("bsf,bf->bs", em, sym_oh,
+                          preferred_element_type=jnp.float32)
 
     # position 0: only edge-less emitting states seed (the start state)
     em0 = em_at(tokens[:, 0])

@@ -20,4 +20,6 @@ def run_plot(args) -> None:
                                  params)
     else:
         pipe_plot = plot_waterfall(locus, args.show, reads, params)
+    if getattr(args, "font_family", None):
+        pipe_plot.font.family = args.font_family
     generate_image(pipe_plot, args.image_path)
