@@ -125,3 +125,29 @@ def test_merge_duplicate_samples_rejected(tmp_path, two_sample_vcfs,
     args.output = str(tmp_path / "merged.vcf")
     with pytest.raises(ValueError, match="Duplicate sample ID"):
         run_merge(args)
+
+
+def test_merge_bcf_output(tmp_path, two_sample_vcfs):
+    from trgt_tpu.io.bcf import BcfReader, FLOAT_MISSING
+    args = MergeArgs()
+    args.vcfs = two_sample_vcfs
+    args.output = str(tmp_path / "merged.bcf.gz")
+    args.output_type = "b"
+    run_merge(args)
+    reader = BcfReader(args.output)
+    assert reader.samples == ["alpha", "beta"]
+    recs = list(reader.records())
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec["chrom"] == "chrA"
+    assert rec["pos"] == 10000  # 0-based
+    assert rec["info"]["TRID"] == "TR1"
+    assert rec["info"]["END"][1][0] == 10061
+    assert rec["qual_bits"] == FLOAT_MISSING
+    # GT 1/1 for both samples: encoded (1+1)<<1 = 4
+    gt = rec["fmt"]["GT"]
+    assert [row for _, row in gt] == [[4, 4], [4, 4]]
+    al = rec["fmt"]["AL"]
+    assert [row for _, row in al] == [[33, 33], [33, 33]]
+    allr = rec["fmt"]["ALLR"]
+    assert allr == ["30-39,33-33", "30-39,33-33"]

@@ -197,14 +197,25 @@ def run_merge(args) -> None:
         + "\t".join(all_samples))
 
     out_type = args.output_type
-    if out_type in ("u", "b"):
-        raise NotImplementedError(
-            "BCF output is not supported yet; use -O v or -O z")
     if out_type is None and args.output:
         lower = args.output.lower()
-        out_type = "z" if (lower.endswith(".vcf.gz")
-                           or lower.endswith(".vcf.bgz")) else "v"
-    if args.output:
+        if lower.endswith(".bcf.gz") or lower.endswith(".bcf"):
+            out_type = "b" if lower.endswith(".bcf.gz") else "u"
+            if lower.endswith(".bcf"):
+                out_type = "u"
+        elif lower.endswith(".vcf.gz") or lower.endswith(".vcf.bgz"):
+            out_type = "z"
+        else:
+            out_type = "v"
+
+    bcf_writer = None
+    sink = None
+    if out_type in ("u", "b"):
+        from ..io.bcf import BcfWriter
+        bcf_writer = BcfWriter(args.output, header_lines,
+                               uncompressed=(out_type == "u"))
+        write = None
+    elif args.output:
         if out_type == "z":
             sink = BgzfWriter(args.output)
             write = lambda s: sink.write(s.encode())
@@ -212,16 +223,19 @@ def run_merge(args) -> None:
             sink = open(args.output, "w")
             write = sink.write
     else:
-        sink = None
         write = sys.stdout.write
 
     if args.print_header:
-        write("\n".join(header_lines) + "\n")
+        if write is not None:
+            write("\n".join(header_lines) + "\n")
         if sink is not None:
             sink.close()
+        if bcf_writer is not None:
+            bcf_writer.close()
         return
 
-    write("\n".join(header_lines) + "\n")
+    if write is not None:
+        write("\n".join(header_lines) + "\n")
 
     n = 0
     n_processed = 0
@@ -250,9 +264,14 @@ def run_merge(args) -> None:
                     _add_padding_base(sample_records, readers, genome,
                                       contig, min_pos)
                 try:
-                    line = _merge_site(sample_records, readers, contig,
-                                       min_pos)
-                    write(line + "\n")
+                    if bcf_writer is not None:
+                        data = _merge_site_data(sample_records, readers,
+                                                contig, min_pos)
+                        _write_site_bcf(bcf_writer, data)
+                    else:
+                        line = _merge_site(sample_records, readers, contig,
+                                           min_pos)
+                        write(line + "\n")
                     n_processed += 1
                     if n_processed >= process_n:
                         done = True
@@ -276,6 +295,8 @@ def run_merge(args) -> None:
     log.info(msg)
     if sink is not None:
         sink.close()
+    if bcf_writer is not None:
+        bcf_writer.close()
 
 
 def _add_padding_base(sample_records, readers, genome, contig: str,
@@ -294,7 +315,7 @@ def _add_padding_base(sample_records, readers, genome, contig: str,
             rec.alleles = [padding_base + a for a in rec.alleles]
 
 
-def _merge_site(sample_records, readers, contig: str, pos: int) -> str:
+def _merge_site_data(sample_records, readers, contig: str, pos: int):
     template = next(r for r in sample_records if r is not None)
 
     gt_vecs = []
@@ -324,14 +345,74 @@ def _merge_site(sample_records, readers, contig: str, pos: int) -> str:
     ref = out_alleles[0]
     alt = ",".join(out_alleles[1:]) if len(out_alleles) > 1 else "."
 
-    sample_cols = []
+    flat_gts = []
+    flat_fields = []
     for vcf_gts, vcf_fields in zip(out_gts, fields_by_vcf):
         for sample_gt, fields in zip(vcf_gts, vcf_fields):
-            col = [render_gt(sample_gt)]
-            for key in FMT_KEYS[1:]:
-                col.append(fields.get(key, "."))
-            sample_cols.append(":".join(col))
+            flat_gts.append(sample_gt)
+            flat_fields.append(fields)
 
-    row = [contig, str(pos + 1), ".", ref, alt, ".", ".", info,
-           ":".join(FMT_KEYS)] + sample_cols
+    return dict(contig=contig, pos=pos, info=info, template=template,
+                ref=ref, alt=alt, out_alleles=out_alleles,
+                gts=flat_gts, fields=flat_fields)
+
+
+def _merge_site(sample_records, readers, contig: str, pos: int) -> str:
+    data = _merge_site_data(sample_records, readers, contig, pos)
+    sample_cols = []
+    for sample_gt, fields in zip(data["gts"], data["fields"]):
+        col = [render_gt(sample_gt)]
+        for key in FMT_KEYS[1:]:
+            col.append(fields.get(key, "."))
+        sample_cols.append(":".join(col))
+    row = [contig, str(pos + 1), ".", data["ref"], data["alt"], ".", ".",
+           data["info"], ":".join(FMT_KEYS)] + sample_cols
     return "\t".join(row)
+
+
+def _ints_or_missing(s: str):
+    from ..io.bcf import INT32_MISSING
+    out = []
+    for tok in s.split(","):
+        out.append(INT32_MISSING if tok in (".", "") else int(tok))
+    return out
+
+
+def _floats_or_missing(s: str):
+    out = []
+    for tok in s.split(","):
+        out.append(None if tok in (".", "") else float(tok))
+    return out
+
+
+def _write_site_bcf(bcf_writer, data):
+    from ..io.bcf import BcfWriter
+    template = data["template"]
+    info = []
+    for key in ("TRID", "END", "MOTIFS", "STRUC"):
+        val = template.info_field(key)
+        if val is None:
+            continue
+        info.append((key, int(val) if key == "END" else val))
+    fields = data["fields"]
+    fmt = [
+        ("GT", BcfWriter.encode_format_gt(data["gts"])),
+        ("AL", BcfWriter.encode_format_ints(
+            [_ints_or_missing(f.get("AL", ".")) for f in fields])),
+        ("ALLR", BcfWriter.encode_format_strings(
+            [f.get("ALLR", ".") for f in fields])),
+        ("SD", BcfWriter.encode_format_ints(
+            [_ints_or_missing(f.get("SD", ".")) for f in fields])),
+        ("MC", BcfWriter.encode_format_strings(
+            [f.get("MC", ".") for f in fields])),
+        ("MS", BcfWriter.encode_format_strings(
+            [f.get("MS", ".") for f in fields])),
+        ("AP", BcfWriter.encode_format_floats(
+            [_floats_or_missing(f.get("AP", ".")) for f in fields])),
+        ("AM", BcfWriter.encode_format_floats(
+            [_floats_or_missing(f.get("AM", ".")) for f in fields])),
+    ]
+    bcf_writer.write_record(
+        chrom=data["contig"], pos=data["pos"], rid=".",
+        alleles=data["out_alleles"], qual=None, info=info, fmt=fmt,
+        n_sample=len(fields))
