@@ -151,3 +151,21 @@ def test_merge_bcf_output(tmp_path, two_sample_vcfs):
     assert [row for _, row in al] == [[33, 33], [33, 33]]
     allr = rec["fmt"]["ALLR"]
     assert allr == ["30-39,33-33", "30-39,33-33"]
+
+
+def test_merge_skip_and_process_n(tmp_path, two_sample_vcfs):
+    args = MergeArgs()
+    args.vcfs = two_sample_vcfs
+    args.output = str(tmp_path / "m.vcf")
+    args.skip_n = 1
+    run_merge(args)
+    records = [l for l in open(args.output) if not l.startswith("#")]
+    assert records == []  # only one site, skipped
+
+    args2 = MergeArgs()
+    args2.vcfs = two_sample_vcfs
+    args2.output = str(tmp_path / "m2.vcf")
+    args2.process_n = 1
+    run_merge(args2)
+    records = [l for l in open(args2.output) if not l.startswith("#")]
+    assert len(records) == 1

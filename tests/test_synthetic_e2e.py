@@ -106,3 +106,26 @@ def test_karyotype_zero_ploidy_skipped(tmp_path):
     cols, s = records["Y1"]
     assert s["GT"] == "./."
     assert s["AL"] == "."
+
+
+def test_karyotype_custom_file(tmp_path):
+    loci = [SynthLocus("C1", "CAG", 10, (13, 13))]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=10,
+                                   chrom="chrQ")
+    karyo = tmp_path / "karyo.txt"
+    karyo.write_text("chrQ 1\n")
+    records = run_genotype(tmp_path, fasta, bed, bam,
+                           extra=("--karyotype", str(karyo)))
+    cols, s = records["C1"]
+    assert s["GT"] == "1"
+    assert s["AL"] == "39"
+
+
+def test_bad_catalog_line_skipped(tmp_path):
+    loci = [SynthLocus("OK", "CAG", 10, (10, 10))]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=10)
+    with open(bed, "a") as fh:
+        fh.write("chrS\t10\t5\tID=BAD;MOTIFS=CAG;STRUC=<TR>\n")   # start>=end
+        fh.write("chrMISSING\t500\t600\tID=BAD2;MOTIFS=CAG;STRUC=<TR>\n")
+    records = run_genotype(tmp_path, fasta, bed, bam)
+    assert set(records) == {"OK"}
