@@ -129,3 +129,17 @@ def test_bad_catalog_line_skipped(tmp_path):
         fh.write("chrMISSING\t500\t600\tID=BAD2;MOTIFS=CAG;STRUC=<TR>\n")
     records = run_genotype(tmp_path, fasta, bed, bam)
     assert set(records) == {"OK"}
+
+
+def test_threaded_extraction_same_output(tmp_path):
+    loci = [SynthLocus(f"T{i}", "CAG", 10 + i, (10 + i, 14 + i))
+            for i in range(6)]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=12)
+    d1 = tmp_path / "t1"
+    d1.mkdir()
+    one = run_genotype(d1, fasta, bed, bam, extra=("-t", "1"))
+    d4 = tmp_path / "t4"
+    d4.mkdir()
+    four = run_genotype(d4, fasta, bed, bam, extra=("-t", "4"))
+    assert {k: v[1] for k, v in one.items()} == \
+        {k: v[1] for k, v in four.items()}

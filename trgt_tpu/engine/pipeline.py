@@ -59,10 +59,28 @@ class _LocusState:
 
 class BatchPipeline:
     def __init__(self, params: Params, batch_size: int = 64,
-                 use_device: bool = True):
+                 use_device: bool = True, num_threads: int = 1,
+                 bam_factory=None):
         self.params = params
         self.batch_size = batch_size
         self.use_device = use_device
+        self.num_threads = max(1, num_threads)
+        # per-thread BAM readers (the reference's thread-local readers,
+        # ref commands/genotype.rs:35-64); BGZF inflate releases the GIL
+        self.bam_factory = bam_factory
+        self._tls = None
+        if bam_factory is not None and self.num_threads > 1:
+            import threading
+            self._tls = threading.local()
+
+    def _thread_bam(self, default_bam):
+        if self._tls is None:
+            return default_bam
+        bam = getattr(self._tls, "bam", None)
+        if bam is None:
+            bam = self.bam_factory()
+            self._tls.bam = bam
+        return bam
 
     def process(self, loci, bam):
         """Yields (locus, LocusResult) in input order, batch by batch."""
@@ -79,6 +97,7 @@ class BatchPipeline:
     def _run_batch(self, loci, bam):
         params = self.params
         states = []
+        pending = []
         for locus in loci:
             st = _LocusState(locus)
             states.append(st)
@@ -86,8 +105,21 @@ class BatchPipeline:
                 st.result = LocusResult.empty()
                 st.done = True
                 continue
-            reads = extract_reads(locus, bam, params)
-            st.reads = clip_reads(locus, 2 * params.search_flank_len, reads)
+            pending.append(st)
+
+        def extract_one(st):
+            reader = self._thread_bam(bam)
+            reads = extract_reads(st.locus, reader, params)
+            st.reads = clip_reads(st.locus, 2 * params.search_flank_len,
+                                  reads)
+
+        if self.num_threads > 1 and len(pending) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                list(pool.map(extract_one, pending))
+        else:
+            for st in pending:
+                extract_one(st)
 
         self._stage_spans(states)
         self._stage_impure_filter(states)

@@ -137,7 +137,10 @@ def run_genotype(args) -> None:
         n_err += 1
 
     from .pipeline import BatchPipeline
-    pipeline = BatchPipeline(params, use_device=use_device)
+    pipeline = BatchPipeline(
+        params, use_device=use_device,
+        num_threads=getattr(args, "num_threads", 1),
+        bam_factory=lambda: BamReader(args.reads_path))
     loci = iter_loci(args.repeats_path, genome, karyotype, args.flank_len,
                      genotyper, on_error=on_error)
     for locus, results in pipeline.process(loci, bam):
