@@ -143,3 +143,26 @@ def test_threaded_extraction_same_output(tmp_path):
     four = run_genotype(d4, fasta, bed, bam, extra=("-t", "4"))
     assert {k: v[1] for k, v in one.items()} == \
         {k: v[1] for k, v in four.items()}
+
+
+def test_catalog_sharding_covers_all_loci(tmp_path):
+    loci = [SynthLocus(f"S{i}", "CAG", 10 + i, (10 + i, 10 + i))
+            for i in range(7)]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=8)
+    merged = {}
+    for shard in range(3):
+        d = tmp_path / f"shard{shard}"
+        d.mkdir()
+        recs = run_genotype(d, fasta, bed, bam,
+                            extra=("--shard-index", str(shard),
+                                   "--shard-count", "3"))
+        for k, v in recs.items():
+            assert k not in merged, "locus assigned to two shards"
+            merged[k] = v
+    assert set(merged) == {f"S{i}" for i in range(7)}
+    # shard outputs match an unsharded run
+    full_dir = tmp_path / "full"
+    full_dir.mkdir()
+    full = run_genotype(full_dir, fasta, bed, bam)
+    assert {k: v[1] for k, v in full.items()} == \
+        {k: v[1] for k, v in merged.items()}

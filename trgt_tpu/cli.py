@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--device", default="auto", choices=["auto", "tpu", "cpu",
                                                         "host"],
                    help="Compute backend for DP kernels (host = numpy)")
+    g.add_argument("--shard-index", dest="shard_index", type=int,
+                   default=None,
+                   help="Process this catalog shard (0-based); with "
+                        "--shard-count, for multi-host runs")
+    g.add_argument("--shard-count", dest="shard_count", type=int,
+                   default=None)
+    g.add_argument("--batch-size", dest="batch_size", type=int, default=64,
+                   help="Loci per device batch")
 
     # validate (ref: cli.rs ValidateArgs)
     v = sub.add_parser("validate", help="Tandem Repeat Catalog Validator")

@@ -139,10 +139,22 @@ def run_genotype(args) -> None:
     from .pipeline import BatchPipeline
     pipeline = BatchPipeline(
         params, use_device=use_device,
+        batch_size=getattr(args, "batch_size", 64) or 64,
         num_threads=getattr(args, "num_threads", 1),
         bam_factory=lambda: BamReader(args.reads_path))
     loci = iter_loci(args.repeats_path, genome, karyotype, args.flank_len,
                      genotyper, on_error=on_error)
+
+    # Multi-host catalog sharding (SURVEY.md §5.8): each host owns a
+    # strided shard of the locus stream; per-shard outputs are combined
+    # by concatenation (same sample) or `merge` (multi-sample).
+    shard_index = getattr(args, "shard_index", None)
+    shard_count = getattr(args, "shard_count", None)
+    if shard_count:
+        if shard_index is None or not 0 <= shard_index < shard_count:
+            raise ValueError("--shard-index must be in [0, --shard-count)")
+        loci = (locus for i, locus in enumerate(loci)
+                if i % shard_count == shard_index)
     for locus, results in pipeline.process(loci, bam):
         vcf_writer.write(locus, results)
         if bam_writer is not None:
