@@ -166,3 +166,45 @@ def test_catalog_sharding_covers_all_loci(tmp_path):
     full = run_genotype(full_dir, fasta, bed, bam)
     assert {k: v[1] for k, v in full.items()} == \
         {k: v[1] for k, v in merged.items()}
+
+
+def test_reservoir_sampling_path(tmp_path):
+    # depth 30 > 3 * max_depth(2) = 6 triggers reservoir sampling
+    loci = [SynthLocus("R1", "CAG", 10, (10, 10))]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=30)
+    records = run_genotype(tmp_path, fasta, bed, bam,
+                           extra=("--max-depth", "2"))
+    cols, s = records["R1"]
+    assert s["GT"] == "0/0"
+    assert int(s["SD"].split(",")[0]) + int(s["SD"].split(",")[1]) <= 2
+
+
+def test_empty_catalog(tmp_path):
+    loci = [SynthLocus("E1", "CAG", 10, (10, 10))]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=5)
+    with open(bed, "w") as fh:
+        fh.write("")
+    records = run_genotype(tmp_path, fasta, bed, bam)
+    assert records == {}
+
+
+def test_region_with_no_reads(tmp_path):
+    loci = [SynthLocus("N1", "CAG", 10, (10, 10)),
+            SynthLocus("N2", "CAG", 10, (10, 10))]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=6)
+    # rewrite the BAM keeping only reads of the first locus
+    from trgt_tpu.io.bam import BamReader
+    from trgt_tpu.io.bam_write import BamWriter
+    src = BamReader(bam)
+    bam2 = str(tmp_path / "partial.bam")
+    w = BamWriter(bam2, src.header.text, src.header.references,
+                  build_index=True)
+    for rec in src:
+        if rec.qname.startswith("N1"):
+            w.write_record(rec.qname, rec.flag, rec.ref_id, rec.pos,
+                           rec.mapq, rec.cigar, rec.seq, rec.qual,
+                           [("rq", "f", 0.999)])
+    w.close()
+    records = run_genotype(tmp_path, fasta, bed, bam2)
+    assert records["N1"][1]["GT"] == "0/0"
+    assert records["N2"][1]["GT"] == "./."
