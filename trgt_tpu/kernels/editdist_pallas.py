@@ -15,6 +15,8 @@ import functools
 
 import numpy as np
 
+from .bucket import bucket as _bucket
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -79,11 +81,6 @@ def _edit_scan_pallas(a_toks, b_toks, interpret: bool = False):
     )(a_toks.astype(jnp.int32), b_toks.astype(jnp.int32))
 
 
-def _bucket(n: int, minimum: int = 16) -> int:
-    size = minimum
-    while size < n:
-        size *= 2
-    return size
 
 
 def edit_distances_batch_pallas(pairs, interpret=None):

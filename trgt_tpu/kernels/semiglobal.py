@@ -26,6 +26,8 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .bucket import bucket as _bucket
+
 import jax
 import jax.numpy as jnp
 
@@ -148,11 +150,6 @@ def _tokenize(seqs: Sequence[bytes], length: int, pad: int) -> np.ndarray:
     return out
 
 
-def _bucket(n: int, minimum: int = 64) -> int:
-    size = minimum
-    while size < n:
-        size *= 2
-    return size
 
 
 def flank_align_batch_multi(patterns: Sequence[bytes],

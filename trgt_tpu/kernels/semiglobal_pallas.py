@@ -18,6 +18,8 @@ import functools
 
 import numpy as np
 
+from .bucket import bucket as _bucket
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -163,11 +165,6 @@ def _semiglobal_pallas(pattern_toks, text_toks, penalties,
       text_toks.astype(jnp.int32))
 
 
-def _bucket(n: int, minimum: int = 64) -> int:
-    size = minimum
-    while size < n:
-        size *= 2
-    return size
 
 
 def flank_align_batch_pallas(patterns, seqs, mism: int, gapo: int,

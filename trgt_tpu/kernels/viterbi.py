@@ -23,6 +23,8 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
+from .bucket import bucket as _bucket
+
 import jax
 import jax.numpy as jnp
 
@@ -159,13 +161,6 @@ def _viterbi_scan(tokens, tables, num_levels: int):
     return preds, valids
 
 
-def _bucket(n: int, minimum: int = 32) -> int:
-    """Round up to a power of two — bounds the number of distinct compiled
-    shapes (the batching-policy lever called out in SURVEY.md §7)."""
-    size = minimum
-    while size < n:
-        size *= 2
-    return size
 
 
 _ENC_TABLE = np.zeros(256, dtype=np.int32)
