@@ -169,3 +169,24 @@ def test_merge_skip_and_process_n(tmp_path, two_sample_vcfs):
     run_merge(args2)
     records = [l for l in open(args2.output) if not l.startswith("#")]
     assert len(records) == 1
+
+
+def test_merge_roundtrip_through_bcf(tmp_path, two_sample_vcfs):
+    """VCF → merge to BCF → merge BCF with --force-single → text VCF."""
+    args = MergeArgs()
+    args.vcfs = two_sample_vcfs
+    args.output = str(tmp_path / "merged.bcf.gz")
+    args.output_type = "b"
+    run_merge(args)
+
+    args2 = MergeArgs()
+    args2.vcfs = [args.output]
+    args2.output = str(tmp_path / "back.vcf")
+    args2.force_single = True
+    run_merge(args2)
+    lines = [l for l in open(args2.output) if not l.startswith("#")]
+    assert len(lines) == 1
+    cols = lines[0].rstrip("\n").split("\t")
+    assert cols[0] == "chrA" and cols[1] == "10001"
+    assert cols[9].startswith("1/1:33,33:30-39,33-33:15,14:")
+    assert cols[9] == cols[10]

@@ -59,7 +59,98 @@ class VcfTextReader:
             return gzip.open(path, "rt")
         return open(path)
 
+    def _is_bcf(self, path: str) -> bool:
+        with open(path, "rb") as fh:
+            head = fh.read(5)
+        if head[:5] == b"BCF\x02\x02":
+            return True
+        if head[:2] == b"\x1f\x8b":
+            with gzip.open(path, "rb") as fh:
+                return fh.read(5) == b"BCF\x02\x02"
+        return False
+
+    def _load_bcf(self, path: str) -> None:
+        from ..io.bcf import (BcfReader, FLOAT_MISSING, FLOAT_EOV,
+                              INT8_MISSING, INT8_EOV, INT16_MISSING,
+                              INT16_EOV, INT32_MISSING, INT32_EOV)
+        import struct as _struct
+        reader = BcfReader(path)
+        self.header_lines = [l for l in reader.header_lines
+                             if l.startswith("##")]
+        self.samples = reader.samples
+
+        int_missing = {1: INT8_MISSING, 2: INT16_MISSING, 3: INT32_MISSING}
+        int_eov = {1: INT8_EOV, 2: INT16_EOV, 3: INT32_EOV}
+
+        def ints_to_str(btype, vals):
+            out = []
+            for v in vals:
+                if v == int_eov.get(btype):
+                    break
+                out.append("." if v == int_missing.get(btype) else str(v))
+            return ",".join(out) if out else "."
+
+        def floats_to_str(vals):
+            out = []
+            for bits in vals:
+                if bits == FLOAT_EOV:
+                    break
+                if bits == FLOAT_MISSING:
+                    out.append(".")
+                else:
+                    out.append(f"{_struct.unpack('<f', _struct.pack('<I', bits))[0]:g}")
+            return ",".join(out) if out else "."
+
+        def gt_to_str(btype, vals):
+            parts = []
+            for i, v in enumerate(vals):
+                if v == int_eov.get(btype):
+                    break
+                phased = v & 1
+                idx = (v >> 1) - 1
+                sep = "" if i == 0 else ("|" if phased else "/")
+                parts.append(sep + ("." if idx < 0 else str(idx)))
+            return "".join(parts) if parts else "."
+
+        for raw in reader.records():
+            info_parts = []
+            for key, val in raw["info"].items():
+                if isinstance(val, str):
+                    info_parts.append(f"{key}={val}")
+                else:
+                    btype, vals = val
+                    info_parts.append(
+                        f"{key}={ints_to_str(btype, vals)}")
+            fmt_keys = list(raw["fmt"].keys())
+            samples = []
+            for s in range(raw["n_sample"]):
+                d = {}
+                for key, per_sample in raw["fmt"].items():
+                    v = per_sample[s]
+                    if key == "GT":
+                        d[key] = gt_to_str(v[0], v[1])
+                    elif isinstance(v, str):
+                        d[key] = v if v else "."
+                    else:
+                        btype, vals = v
+                        if btype == 5:
+                            d[key] = floats_to_str(vals)
+                        else:
+                            d[key] = ints_to_str(btype, vals)
+                samples.append(d)
+            rec = VcfRecord(
+                chrom=raw["chrom"], pos=raw["pos"], id=raw["id"],
+                alleles=list(raw["alleles"]), qual=".", filter=".",
+                info=";".join(info_parts), fmt_keys=fmt_keys,
+                samples=samples)
+            self._records_by_contig.setdefault(rec.chrom, []).append(rec)
+        for recs in self._records_by_contig.values():
+            recs.sort(key=lambda r: r.pos)
+
     def _load(self, path: str) -> None:
+        if self._is_bcf(path):
+            self._load_bcf(path)
+            return
         with self._open_lines(path) as fh:
             first = True
             for line in fh:
