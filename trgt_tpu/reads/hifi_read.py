@@ -162,6 +162,9 @@ def _mods_from_mm_ml(rec, bases: bytes):
 def extract_meth(rec, bases: bytes) -> Optional[bytes]:
     # ref: src/trgt/reads/read.rs:55-90 get_meth — project C+m calls onto
     # CpG sites of the stored sequence (G position for reverse reads)
+    mods = _mods_from_mm_ml(rec, bases)
+    if mods is None:
+        return None
     reverse = rec.is_reverse
     cpg_indices = []
     start = 0
@@ -171,9 +174,6 @@ def extract_meth(rec, bases: bytes) -> Optional[bytes]:
             break
         cpg_indices.append(x + (1 if reverse else 0))
         start = x + 1
-    mods = _mods_from_mm_ml(rec, bases)
-    if mods is None:
-        return None
     num_cpgs = len(cpg_indices)
     ans = [0] * num_cpgs
     ind = 0
