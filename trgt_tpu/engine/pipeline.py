@@ -324,19 +324,22 @@ class BatchPipeline:
                 dist[i, j] = dist[j, i] = d
             cluster_lookup[id(st)] = dist
 
+        aligner = self._consensus_aligner()
         for st in states:
             if st.done:
                 continue
             if st.locus.genotyper == Genotyper.SIZE:
                 gt, alleles, classification = genotype_size.genotype(
-                    st.locus.ploidy, st.trs)
+                    st.locus.ploidy, st.trs, aligner=aligner)
             else:
                 gt, alleles, classification = genotype_cluster.genotype(
                     st.locus.ploidy, st.trs,
-                    pair_dists=cluster_lookup.get(id(st)))
+                    pair_dists=cluster_lookup.get(id(st)),
+                    aligner=aligner)
             # SNP-flank rescue (tr.rs:70-75)
             if len(gt) == 2 and abs(gt[0].size - gt[1].size) <= 10:
-                snp_result = genotype_flank.genotype(st.reads, st.trs)
+                snp_result = genotype_flank.genotype(st.reads, st.trs,
+                                                     aligner=aligner)
                 if snp_result is not None:
                     gt, alleles, classification = snp_result
             st.gt = gt
@@ -378,6 +381,21 @@ class BatchPipeline:
                 continue
             st.annotations = [annos[(id(st), ai)]
                               for ai in range(len(st.allele_seqs))]
+
+    def _consensus_aligner(self):
+        """Batched device consensus aligner (ref: utils/align.rs affine
+        2,5,1); host Gotoh fallback."""
+        from ..genotype import consensus
+        if not self.use_device:
+            return consensus.align_batch
+
+        def device_aligner(backbone, seqs):
+            from ..kernels.e2e_device import e2e_align_batch
+            res = e2e_align_batch(
+                [(backbone.encode(), s.encode()) for s in seqs], 2, 5, 1)
+            return [cigar for _score, cigar in res]
+
+        return device_aligner
 
     def _viterbi(self, hmms, queries):
         if self.use_device:

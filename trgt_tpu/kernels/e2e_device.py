@@ -1,0 +1,183 @@
+"""Batched end-to-end affine alignment with CIGAR on device.
+
+Replaces the consensus-repair WFA2 calls (ref: src/utils/align.rs:14-28,
+affine 2,5,1) for batches of (backbone × read) problems. The device scan
+emits 4 packed direction bits per cell — H-choice (diag/D/I), D-extend,
+I-extend — and the CIGAR is recovered by a linear host traceback.
+
+Tie-breaking: diagonal ≻ D(gap-in-text) ≻ I(gap-in-pattern); gap open
+preferred over extend on equal cost; I runs open at the latest optimal
+column. Scores are always optimal; on exact ties the chosen co-optimal
+path may differ from the numpy host kernel's.
+"""
+
+import functools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .bucket import bucket as _bucket
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(1e9)
+
+CigarOps = List[Tuple[int, str]]
+
+
+@functools.partial(jax.jit, static_argnames=("mism", "gapo", "gape"))
+def _e2e_scan(pattern_toks, text_toks, mism: int, gapo: int, gape: int):
+    """pattern (B,P) uint8 (0 pad), text (B,T) uint8 (0 pad).
+    Returns (H_fin (B,T+1), bits (P+1,B,T+1) uint8)."""
+    B, P = pattern_toks.shape
+    T = text_toks.shape[1]
+    go_ge = jnp.float32(gapo + gape)
+    ge = jnp.float32(gape)
+    mism_f = jnp.float32(mism)
+    j_idx = jnp.arange(T + 1, dtype=jnp.float32)
+    j_int = jnp.arange(T + 1, dtype=jnp.int32)
+
+    # row 0: H[0,j] = gapo + gape*j (leading I run), H[0,0] = 0
+    H0 = jnp.where(j_idx[None, :] == 0, 0.0,
+                   jnp.float32(gapo) + ge * j_idx[None, :])
+    H0 = jnp.broadcast_to(H0, (B, T + 1))
+    D0 = jnp.full((B, T + 1), INF)
+    # bits row 0: choice I (2), I-ext for j >= 2
+    bits0 = jnp.where(j_int[None, :] == 0, 0,
+                      jnp.where(j_int[None, :] == 1, 2, 2 | 8))
+    bits0 = jnp.broadcast_to(bits0, (B, T + 1)).astype(jnp.uint8)
+
+    def combine(a, b):
+        av, ai = a
+        bv, bi = b
+        take_b = bv <= av
+        return (jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai))
+
+    def row_step(carry, p_tok):
+        H_prev, D_prev = carry
+        d_open = H_prev + go_ge
+        d_ext = D_prev + ge
+        take_ext = d_ext < d_open
+        D_row = jnp.where(take_ext, d_ext, d_open)
+
+        is_match = text_toks == p_tok[:, None]
+        subcost = jnp.where(is_match, 0.0, mism_f)
+        diag = jnp.concatenate(
+            [jnp.full((B, 1), INF), H_prev[:, :-1] + subcost], axis=1)
+
+        take_d = D_row < diag
+        H_noI = jnp.where(take_d, D_row, diag)
+
+        base = H_noI + go_ge - ge * j_idx[None, :] - ge
+        vals, idxs = jax.lax.associative_scan(
+            combine, (base, jnp.broadcast_to(j_int[None, :], (B, T + 1))),
+            axis=1)
+        I_row = jnp.concatenate(
+            [jnp.full((B, 1), INF),
+             vals[:, :-1] + ge * (j_idx[1:])[None, :]], axis=1)
+        k_star = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), idxs[:, :-1]], axis=1)
+
+        take_i = I_row < H_noI
+        H_row = jnp.where(take_i, I_row, H_noI)
+
+        choice = jnp.where(take_i, 2, jnp.where(take_d, 1, 0))
+        d_ext_bit = take_ext.astype(jnp.int32) << 2
+        i_ext_bit = (k_star != (j_int[None, :] - 1)).astype(jnp.int32) << 3
+        bits = (choice | d_ext_bit | i_ext_bit).astype(jnp.uint8)
+        return (H_row, D_row), bits
+
+    (H_fin, _), bits_rows = jax.lax.scan(row_step, (H0, D0),
+                                         pattern_toks.T)
+    bits = jnp.concatenate([bits0[None], bits_rows], axis=0)
+    return H_fin, bits
+
+
+def _traceback(bits: np.ndarray, pattern: bytes, text: bytes) -> CigarOps:
+    i, j = len(pattern), len(text)
+    ops: List[str] = []
+    while i > 0 or j > 0:
+        b = bits[i, j]
+        choice = b & 3
+        if i == 0:
+            choice = 2 if j > 0 else 0
+        if j == 0 and i > 0:
+            choice = 1
+        if choice == 0:
+            ops.append("=" if pattern[i - 1] == text[j - 1] else "X")
+            i -= 1
+            j -= 1
+        elif choice == 1:
+            # D run: consume pattern while extend bit set
+            ops.append("D")
+            ext = bool(b & 4)
+            i -= 1
+            while ext and i > 0:
+                b = bits[i, j]
+                ops.append("D")
+                ext = bool(b & 4)
+                i -= 1
+        else:
+            ops.append("I")
+            ext = bool(b & 8)
+            j -= 1
+            while ext and j > 0:
+                b = bits[i, j]
+                ops.append("I")
+                ext = bool(b & 8)
+                j -= 1
+    ops.reverse()
+    out: CigarOps = []
+    for op in ops:
+        if out and out[-1][1] == op:
+            out[-1] = (out[-1][0] + 1, op)
+        else:
+            out.append((1, op))
+    return out
+
+
+def e2e_align_batch(pattern_texts: Sequence[Tuple[bytes, bytes]],
+                    mism: int, gapo: int, gape: int):
+    """Batched global affine alignment; returns [(score, cigar)] with
+    '='/'X'/'I'/'D' ops ('I' consumes text, 'D' consumes pattern)."""
+    if not pattern_texts:
+        return []
+    results = [None] * len(pattern_texts)
+    todo = []
+    for idx, (p, t) in enumerate(pattern_texts):
+        if len(p) == 0:
+            cig = [(len(t), "I")] if t else []
+            results[idx] = ((gapo + gape * len(t)) if t else 0, cig)
+        elif len(t) == 0:
+            results[idx] = (gapo + gape * len(p), [(len(p), "D")])
+        else:
+            todo.append(idx)
+    if not todo:
+        return results
+    P = _bucket(max(len(pattern_texts[i][0]) for i in todo))
+    T = _bucket(max(len(pattern_texts[i][1]) for i in todo))
+    B = _bucket(len(todo), minimum=8)
+    p_toks = np.zeros((B, P), dtype=np.uint8)
+    t_toks = np.zeros((B, T), dtype=np.uint8)
+    for b, idx in enumerate(todo):
+        p, t = pattern_texts[idx]
+        p_toks[b, :len(p)] = np.frombuffer(p, dtype=np.uint8)
+        t_toks[b, :len(t)] = np.frombuffer(t, dtype=np.uint8)
+    H_fin, bits = _e2e_scan(jnp.asarray(p_toks), jnp.asarray(t_toks),
+                            mism, gapo, gape)
+    del H_fin
+    bits = np.asarray(bits)
+    for b, idx in enumerate(todo):
+        p, t = pattern_texts[idx]
+        # bits rows beyond len(p) used padded pattern chars — but the DP
+        # is causal in rows, so rows 0..len(p) are exact for this item
+        cigar = _traceback(bits[:, b, :], p, t)
+        cost = 0
+        for length, op in cigar:
+            if op == "X":
+                cost += mism * length
+            elif op in "ID":
+                cost += gapo + gape * length
+        results[idx] = (cost, cigar)
+    return results
