@@ -26,9 +26,11 @@ INF = 1e9
 
 
 def _edit_row_kernel(a_ref, b_ref, out_ref, h_scratch):
-    i = pl.program_id(0)
+    i = pl.program_id(1)
     T1 = h_scratch.shape[1]              # T + 1
-    j_idx = jax.lax.broadcasted_iota(jnp.float32, (1, T1), 1)
+    # Mosaic iota must be integer-typed
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T1), 1).astype(
+        jnp.float32)
 
     @pl.when(i == 0)
     def _():
@@ -62,21 +64,23 @@ def _edit_row_kernel(a_ref, b_ref, out_ref, h_scratch):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _edit_scan_pallas(a_toks, b_toks, interpret: bool = False):
+    from .semiglobal_pallas import _pick_block
     B, P = a_toks.shape
     T = b_toks.shape[1]
+    BLK = _pick_block(B, T + 1, n_bufs=5)
     return pl.pallas_call(
         _edit_row_kernel,
-        grid=(P,),
+        grid=(B // BLK, P),
         in_specs=[
-            pl.BlockSpec((B, P), lambda i: (0, 0),
+            pl.BlockSpec((BLK, P), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, T), lambda i: (0, 0),
+            pl.BlockSpec((BLK, T), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, T + 1), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((BLK, T + 1), lambda b, i: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T + 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B, T + 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BLK, T + 1), jnp.float32)],
         interpret=interpret,
     )(a_toks.astype(jnp.int32), b_toks.astype(jnp.int32))
 

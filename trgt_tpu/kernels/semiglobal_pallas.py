@@ -31,11 +31,13 @@ INF = 1e9
 def _row_kernel(mism_go_ge_ref, pattern_ref, text_ref,
                 h_out, m_out, fs_out, ls_out,
                 H, D, MH, FSH, LSH, MD, FSD, LSD):
-    i = pl.program_id(0)
-    num_rows = pl.num_programs(0)
+    i = pl.program_id(1)
+    num_rows = pl.num_programs(1)
     B = H.shape[0]
     T1 = H.shape[1]
-    j_idx = jax.lax.broadcasted_iota(jnp.float32, (B, T1), 1)
+    # Mosaic iota must be integer-typed; convert to f32 afterwards
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (B, T1), 1).astype(
+        jnp.float32)
     mism = mism_go_ge_ref[0]
     go_ge = mism_go_ge_ref[1]
     ge = mism_go_ge_ref[2]
@@ -135,6 +137,18 @@ def _row_kernel(mism_go_ge_ref, pattern_ref, text_ref,
         ls_out[:, :] = LS_out
 
 
+def _pick_block(B: int, T1: int, n_bufs: int = 14) -> int:
+    """Largest batch block that (a) divides B and (b) keeps ~n_bufs
+    (BLK, T1) f32 buffers under ~10MB of VMEM."""
+    budget = 10 * 1024 * 1024 // (n_bufs * 4 * T1)
+    blk = 8
+    while blk * 2 <= min(B, max(8, budget)) and B % (blk * 2) == 0:
+        blk *= 2
+    while B % blk != 0 and blk > 1:
+        blk //= 2
+    return max(blk, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _semiglobal_pallas(pattern_toks, text_toks, penalties,
                        interpret: bool = False):
@@ -142,19 +156,23 @@ def _semiglobal_pallas(pattern_toks, text_toks, penalties,
     T = text_toks.shape[1]
     T1 = T + 1
     f32 = jnp.float32
+    BLK = _pick_block(B, T1)
+    n_blocks = B // BLK
     out_shapes = [jax.ShapeDtypeStruct((B, T1), f32)] * 4
+    # grid: (batch blocks, pattern rows) — rows iterate fastest, so the
+    # per-block scratch carries the DP rows across the inner dimension
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(P,),
+        grid=(n_blocks, P),
         in_specs=[
-            pl.BlockSpec((B, P), lambda i, *_: (0, 0),
+            pl.BlockSpec((BLK, P), lambda b, i, *_: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, T), lambda i, *_: (0, 0),
+            pl.BlockSpec((BLK, T), lambda b, i, *_: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((B, T1), lambda i, *_: (0, 0),
+        out_specs=[pl.BlockSpec((BLK, T1), lambda b, i, *_: (b, 0),
                                 memory_space=pltpu.VMEM)] * 4,
-        scratch_shapes=[pltpu.VMEM((B, T1), f32)] * 8,
+        scratch_shapes=[pltpu.VMEM((BLK, T1), f32)] * 8,
     )
     return pl.pallas_call(
         _row_kernel,
