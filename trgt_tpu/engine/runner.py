@@ -69,7 +69,7 @@ def write_spanning_reads(bam_writer: BamWriter, locus, results,
             pos = locus.region.start
             cigar = None
             flag |= 0x4
-            mapq = 255
+            mapq = 0  # htslib's zero-initialized record default
 
         aux = [("TR", "Z", locus.id),
                ("rq", "f", read.read_qual if read.read_qual is not None
