@@ -13,3 +13,17 @@ def bucket(n: int, minimum: int = 8) -> int:
             return size * 3 // 2
         size *= 2
     return size
+
+
+# Device batches are chunked to a bounded batch dimension: compile time
+# grows superlinearly with the batch dim on the remote TPU compiler, while
+# a fixed-size chunk compiles once and is reused for any workload size.
+MAX_DEVICE_BATCH = 512
+
+
+def chunk_ranges(n: int, chunk: int = MAX_DEVICE_BATCH):
+    """Yield (start, end) covering [0, n) in chunks of `chunk`."""
+    start = 0
+    while start < n:
+        yield start, min(start + chunk, n)
+        start += chunk

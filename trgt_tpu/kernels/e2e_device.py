@@ -16,7 +16,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from .bucket import bucket as _bucket
+from .bucket import bucket as _bucket, chunk_ranges
 
 import jax
 import jax.numpy as jnp
@@ -143,6 +143,12 @@ def e2e_align_batch(pattern_texts: Sequence[Tuple[bytes, bytes]],
     '='/'X'/'I'/'D' ops ('I' consumes text, 'D' consumes pattern)."""
     if not pattern_texts:
         return []
+    if len(pattern_texts) > 512:
+        out = []
+        for lo, hi in chunk_ranges(len(pattern_texts)):
+            out.extend(e2e_align_batch(pattern_texts[lo:hi], mism, gapo,
+                                       gape))
+        return out
     results = [None] * len(pattern_texts)
     todo = []
     for idx, (p, t) in enumerate(pattern_texts):

@@ -14,7 +14,7 @@ from typing import List, Sequence
 
 import numpy as np
 
-from .bucket import bucket as _bucket
+from .bucket import bucket as _bucket, chunk_ranges
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +67,11 @@ def edit_distances_batch(pairs: Sequence[tuple]) -> List[int]:
     """Exact edit distances for a list of (bytes, bytes) pairs."""
     if not pairs:
         return []
+    if len(pairs) > 512:
+        out = []
+        for lo, hi in chunk_ranges(len(pairs)):
+            out.extend(edit_distances_batch(pairs[lo:hi]))
+        return out
     # put the shorter sequence on the scan axis
     norm = []
     for a, b in pairs:

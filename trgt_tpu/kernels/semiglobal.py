@@ -26,7 +26,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .bucket import bucket as _bucket
+from .bucket import bucket as _bucket, chunk_ranges
 
 import jax
 import jax.numpy as jnp
@@ -156,11 +156,18 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
                             seqs: Sequence[bytes], mism: int, gapo: int,
                             gape: int):
     """Batched ends-free alignment with a per-item pattern (all patterns
-    must have equal length — flank pieces always do).
+    must have equal length — flank pieces always do). Large batches are
+    chunked to a bounded batch dimension (compile-time control).
 
     Returns list of (score, n_matches, (text_start, text_end))."""
     if not seqs:
         return []
+    if len(seqs) > 512:
+        out = []
+        for lo, hi in chunk_ranges(len(seqs)):
+            out.extend(flank_align_batch_multi(
+                patterns[lo:hi], seqs[lo:hi], mism, gapo, gape))
+        return out
     assert len(patterns) == len(seqs)
     plen = len(patterns[0])
     assert all(len(p) == plen for p in patterns)

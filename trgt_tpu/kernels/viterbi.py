@@ -23,7 +23,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .bucket import bucket as _bucket
+from .bucket import bucket as _bucket, chunk_ranges
 
 import jax
 import jax.numpy as jnp
@@ -185,6 +185,11 @@ def viterbi_batch_multi(hmms: Sequence[Hmm],
                         queries: Sequence[str]) -> List[List[int]]:
     """Device-batched [hmms[i].label(queries[i])] — hmms may differ."""
     assert len(hmms) == len(queries)
+    if len(queries) > 512:
+        out = []
+        for lo, hi in chunk_ranges(len(queries)):
+            out.extend(viterbi_batch_multi(hmms[lo:hi], queries[lo:hi]))
+        return out
     nonempty = [(i, h, q) for i, (h, q) in enumerate(zip(hmms, queries))
                 if q]
     out: List[List[int]] = [[] for _ in queries]
