@@ -2,37 +2,32 @@
 JAX backend (TPU under the driver).
 
 Replays the bundled example locus as a multi-locus catalog and times the
-full pipeline — BAM fetch/parse, span location, genotyping, device HMM
-annotation, VCF+BAM output. Prints ONE JSON line:
+full pipeline — BAM fetch/parse, span location (device flank DP on the
+~half of read×flank problems that miss the exact-substring path),
+genotyping, device HMM annotation, VCF+BAM output. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-vs_baseline is the speedup of the device-engine path over the host-only
+vs_baseline is the speedup of the device-kernel path over the host-only
 (numpy) path measured in the same run — the reference TRGT Rust binary
 cannot be built in this image (no cargo), so the in-run host path is the
 honest baseline anchor; see BASELINE.md.
+
+Robustness: the remote-TPU tunnel can hang indefinitely (wedged grants),
+so every measured run executes in a subprocess with its own timeout; on
+device failure the bench falls back to CPU-JAX kernels.
 """
 
 import json
 import os
-import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-# Persistent XLA compilation cache: TPU (re)compiles dominate cold-start
-# wall time, especially over a remote-compile tunnel.
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-try:
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:
-    pass
+                      os.path.join(REPO, ".jax_cache"))
 
 EXAMPLE = "/root/reference/example"
 N_LOCI = 64
@@ -45,10 +40,13 @@ def make_catalog(path: str, n: int) -> None:
                      f"STRUC=<TR>\n")
 
 
-def run_pipeline(workdir: str, device_mode: str) -> float:
+def run_pipeline_inproc(workdir: str, device_mode: str) -> float:
+    from trgt_tpu.jax_setup import setup_jax_cache
+    setup_jax_cache()
     from trgt_tpu.cli import main
     catalog = os.path.join(workdir, "repeats.bed")
-    make_catalog(catalog, N_LOCI)
+    if not os.path.exists(catalog):
+        make_catalog(catalog, N_LOCI)
     prefix = os.path.join(workdir, f"bench_{device_mode}")
     t0 = time.time()
     rc = main([
@@ -64,58 +62,61 @@ def run_pipeline(workdir: str, device_mode: str) -> float:
     return N_LOCI / elapsed
 
 
-def _device_reachable(timeout_s: float = 120.0) -> bool:
-    """Probe the default JAX backend in a subprocess — a wedged remote-TPU
-    tunnel hangs jax.devices() indefinitely, which must not take the bench
-    down with it."""
-    import subprocess
-    code = ("import jax; jax.devices(); "
-            "import jax.numpy as jnp; "
-            "(jnp.ones((8,8))@jnp.ones((8,8))).block_until_ready(); "
-            "print('ok')")
+def run_pipeline_subproc(workdir: str, device_mode: str,
+                         timeout_s: float, warmup: bool):
+    """Run (optionally warmup+) timed pipeline in a subprocess.
+    Returns loci/sec or None on failure/timeout."""
+    code = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "import bench\n"
+        "w = {warmup!r}\n"
+        "if w: bench.run_pipeline_inproc({workdir!r}, {mode!r})\n"
+        "lps = bench.run_pipeline_inproc({workdir!r}, {mode!r})\n"
+        "print('LPS', lps)\n"
+    ).format(repo=REPO, workdir=workdir, mode=device_mode, warmup=warmup)
     try:
         proc = subprocess.run([sys.executable, "-c", code],
                               capture_output=True, timeout=timeout_s)
-        return b"ok" in proc.stdout
     except subprocess.TimeoutExpired:
-        return False
+        return None
+    for line in proc.stdout.decode().splitlines():
+        if line.startswith("LPS "):
+            return float(line.split()[1])
+    return None
 
 
 def main():
     workdir = tempfile.mkdtemp(prefix="trgt_bench_")
-    try:
-        device_ok = _device_reachable()
-        if not device_ok:
-            # TPU tunnel unreachable: measure the batched-kernel path on
-            # CPU-JAX vs the numpy host loop so the speedup of the
-            # batched design is still captured.
-            run_pipeline(workdir, "cpu")   # warmup/compile
-            cpu_lps = run_pipeline(workdir, "cpu")
-            host_lps = run_pipeline(workdir, "host")
-            print(json.dumps({
-                "metric": "genotype loci/sec (example-locus replay, e2e; "
-                          "TPU UNREACHABLE, CPU-JAX kernels)",
-                "value": round(cpu_lps, 3),
-                "unit": "loci/sec/chip",
-                "vs_baseline": round(cpu_lps / host_lps, 3),
-            }))
-            return
+    make_catalog(os.path.join(workdir, "repeats.bed"), N_LOCI)
 
-        # warmup with IDENTICAL shapes (compiles device kernels; excluded
-        # from timing — subsequent runs hit the persistent XLA cache)
-        run_pipeline(workdir, "auto")
+    # timed device run (warmup + measurement in one subprocess; the
+    # persistent compile cache makes the warmup cheap on reruns)
+    device_lps = run_pipeline_subproc(workdir, "auto", timeout_s=2400,
+                                      warmup=True)
+    metric = "genotype loci/sec (example-locus replay, e2e)"
+    if device_lps is None:
+        metric = ("genotype loci/sec (example-locus replay, e2e; "
+                  "TPU unavailable, CPU-JAX kernels)")
+        device_lps = run_pipeline_subproc(workdir, "cpu", timeout_s=900,
+                                          warmup=True)
 
-        device_lps = run_pipeline(workdir, "auto")
-        host_lps = run_pipeline(workdir, "host")
+    host_lps = run_pipeline_subproc(workdir, "host", timeout_s=900,
+                                    warmup=False)
 
-        print(json.dumps({
-            "metric": "genotype loci/sec (example-locus replay, e2e)",
-            "value": round(device_lps, 3),
-            "unit": "loci/sec/chip",
-            "vs_baseline": round(device_lps / host_lps, 3),
-        }))
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    if device_lps is None and host_lps is None:
+        print(json.dumps({"metric": metric, "value": 0.0,
+                          "unit": "loci/sec/chip", "vs_baseline": 0.0}))
+        return
+    if device_lps is None:
+        device_lps = host_lps
+        metric += " [numpy host fallback]"
+    vs = device_lps / host_lps if host_lps else 1.0
+    print(json.dumps({
+        "metric": metric,
+        "value": round(device_lps, 3),
+        "unit": "loci/sec/chip",
+        "vs_baseline": round(vs, 3),
+    }))
 
 
 if __name__ == "__main__":
