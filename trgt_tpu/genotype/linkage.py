@@ -30,33 +30,37 @@ def condensed_index(n: int, i: int, j: int) -> int:
 
 
 def ward_linkage(dists: np.ndarray, n: int) -> List[Step]:
-    D = np.asarray(dists, dtype=np.float64).copy()
+    # square-form distance matrix for vectorized row operations
+    D = np.full((n, n), np.inf, dtype=np.float64)
+    iu = np.triu_indices(n, 1)
+    D[iu] = np.asarray(dists, dtype=np.float64)
+    D[(iu[1], iu[0])] = D[iu]
+
     size = np.ones(n, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
     merges = []  # (x_leafrep, y_leafrep, dist, new_size)
     chain = []
 
-    def d(i, j):
-        return D[condensed_index(n, i, j)]
-
     for _ in range(n - 1):
         if not chain:
-            x = int(np.argmax(size > 0))
+            x = int(np.argmax(active))
             chain.append(x)
         while True:
             x = chain[-1]
+            row = np.where(active, D[x], np.inf)
+            row[x] = np.inf
             if len(chain) > 1:
                 y = chain[-2]
-                current_min = d(x, y)
+                current_min = row[y]
+                # strict < keeps the lowest-index NN on ties, preferring
+                # the chain predecessor (matches scalar nn-chain)
+                cand = int(np.argmin(row))
+                if row[cand] < current_min:
+                    y = cand
+                    current_min = row[cand]
             else:
-                y = -1
-                current_min = math.inf
-            for i in range(n):
-                if size[i] == 0 or i == x:
-                    continue
-                dist = d(x, i)
-                if dist < current_min:
-                    current_min = dist
-                    y = i
+                y = int(np.argmin(row))
+                current_min = row[y]
             if len(chain) > 1 and y == chain[-2]:
                 break
             chain.append(y)
@@ -65,20 +69,22 @@ def ward_linkage(dists: np.ndarray, n: int) -> List[Step]:
         if x > y:
             x, y = y, x
         nx, ny = int(size[x]), int(size[y])
-        merges.append((x, y, current_min, nx + ny))
+        merges.append((x, y, float(current_min), nx + ny))
+        # Lance-Williams Ward update into label y (vectorized)
+        d_xy2 = current_min * current_min
+        mask = active.copy()
+        mask[x] = mask[y] = False
+        ni = size[mask].astype(np.float64)
+        d_xi = D[x, mask]
+        d_yi = D[y, mask]
+        val = ((nx + ni) * d_xi * d_xi + (ny + ni) * d_yi * d_yi
+               - ni * d_xy2) / (nx + ny + ni)
+        new_row = np.sqrt(np.maximum(val, 0.0))
+        D[y, mask] = new_row
+        D[mask, y] = new_row
+        active[x] = False
         size[x] = 0
         size[y] = nx + ny
-        # Lance-Williams Ward update into label y
-        d_xy2 = current_min * current_min
-        for i in range(n):
-            if size[i] == 0 or i == y:
-                continue
-            ni = int(size[i])
-            d_xi = d(x, i)
-            d_yi = d(y, i)
-            val = ((nx + ni) * d_xi * d_xi + (ny + ni) * d_yi * d_yi
-                   - ni * d_xy2) / (nx + ny + ni)
-            D[condensed_index(n, y, i)] = math.sqrt(max(val, 0.0))
 
     # sort by dissimilarity (stable) + union-find relabel (kodama/scipy
     # `label` step: clusters numbered n..2n-2 in sorted order)
