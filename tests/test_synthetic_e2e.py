@@ -208,3 +208,18 @@ def test_region_with_no_reads(tmp_path):
     records = run_genotype(tmp_path, fasta, bed, bam2)
     assert records["N1"][1]["GT"] == "0/0"
     assert records["N2"][1]["GT"] == "./."
+
+
+def test_het_two_alt_alleles_gt12(tmp_path):
+    # both alleles differ from the reference → GT 1/2, two ALT seqs
+    loci = [SynthLocus("ALT2", "CAG", 15, (12, 18))]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=20)
+    records = run_genotype(tmp_path, fasta, bed, bam)
+    cols, s = records["ALT2"]
+    assert s["GT"] == "1/2"
+    alts = cols[4].split(",")
+    assert len(alts) == 2
+    assert s["AL"] == "36,54"
+    assert s["MC"] == "12,18"
+    # REF comes padded with the base before the TR
+    assert len(cols[3]) == 15 * 3 + 1
