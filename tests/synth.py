@@ -18,9 +18,29 @@ class SynthLocus:
         self.motifs = motifs or motif
 
 
+def mm_ml_for(seq: str, prob: int):
+    """MM/ML aux tags marking every CpG cytosine as modified with the
+    given probability (forward-strand read)."""
+    c_positions = [i for i, ch in enumerate(seq) if ch == "C"]
+    cpg_cs = [i for i in c_positions
+              if i + 1 < len(seq) and seq[i + 1] == "G"]
+    deltas = []
+    prev_rank = -1
+    rank_of = {pos: r for r, pos in enumerate(c_positions)}
+    for pos in cpg_cs:
+        r = rank_of[pos]
+        deltas.append(r - prev_rank - 1)
+        prev_rank = r
+    if not deltas:
+        return None
+    mm = "C+m," + ",".join(str(d) for d in deltas) + ";"
+    ml = [prob] * len(deltas)
+    return [("MM", "Z", mm), ("ML", "B", ("C", ml))]
+
+
 def make_dataset(tmpdir: str, loci: List[SynthLocus], depth: int = 20,
                  flank: int = 400, read_flank: int = 300,
-                 seed: int = 0, chrom: str = "chrS"):
+                 seed: int = 0, chrom: str = "chrS", meth_prob=None):
     rng = random.Random(seed)
 
     ref_parts = []
@@ -90,8 +110,12 @@ def make_dataset(tmpdir: str, loci: List[SynthLocus], depth: int = 20,
     writer = BamWriter(bam_path, header_text, [(chrom, len(ref_seq))],
                        build_index=True)
     for pos0, name, seq, cigar in records:
+        aux = [("rq", "f", 0.999)]
+        if meth_prob is not None:
+            tags = mm_ml_for(seq, meth_prob)
+            if tags:
+                aux.extend(tags)
         writer.write_record(name, 0, 0, pos0, 60, cigar, seq,
-                            bytes([40] * len(seq)),
-                            [("rq", "f", 0.999)])
+                            bytes([40] * len(seq)), aux)
     writer.close()
     return fasta_path, bed_path, bam_path

@@ -223,3 +223,33 @@ def test_het_two_alt_alleles_gt12(tmp_path):
     assert s["MC"] == "12,18"
     # REF comes padded with the base before the TR
     assert len(cols[3]) == 15 * 3 + 1
+
+
+def test_methylation_am_field(tmp_path):
+    # GGC motifs contain CpGs (GGCGGC → positions with CG); prob 204/255=0.8
+    loci = [SynthLocus("M1", "GGC", 12, (12, 12))]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=10,
+                                   meth_prob=204)
+    records = run_genotype(tmp_path, fasta, bed, bam)
+    cols, s = records["M1"]
+    assert s["GT"] == "0/0"
+    assert s["AM"] == "0.80,0.80"
+
+
+def test_meth_plot_e2e(tmp_path):
+    from trgt_tpu.cli import main
+    loci = [SynthLocus("M2", "GGC", 10, (10, 14))]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=12,
+                                   meth_prob=255)
+    prefix = str(tmp_path / "out")
+    rc = main(["genotype", "--genome", fasta, "--repeats", bed,
+               "--reads", bam, "--output-prefix", prefix])
+    assert rc == 0
+    out = str(tmp_path / "meth.svg")
+    rc = main(["plot", "--genome", fasta, "--repeats", bed,
+               "--vcf", prefix + ".vcf.gz",
+               "--spanning-reads", prefix + ".spanning.bam",
+               "--repeat-id", "M2", "--image", out, "--show", "meth"])
+    assert rc == 0
+    data = open(out).read()
+    assert "#FF0000" in data  # fully methylated gradient color
