@@ -40,7 +40,8 @@ def mm_ml_for(seq: str, prob: int):
 
 def make_dataset(tmpdir: str, loci: List[SynthLocus], depth: int = 20,
                  flank: int = 400, read_flank: int = 300,
-                 seed: int = 0, chrom: str = "chrS", meth_prob=None):
+                 seed: int = 0, chrom: str = "chrS", meth_prob=None,
+                 error_rate: float = 0.0):
     rng = random.Random(seed)
 
     ref_parts = []
@@ -100,6 +101,15 @@ def make_dataset(tmpdir: str, loci: List[SynthLocus], depth: int = 20,
                 cigar.append((-delta, "D"))
             cigar.append((read_flank, "="))
             pos0 = start - read_flank
+            if error_rate > 0.0:
+                mutated = []
+                for ch in seq:
+                    if rng.random() < error_rate:
+                        mutated.append(rng.choice("ACGT".replace(ch, "")))
+                    else:
+                        mutated.append(ch)
+                seq = "".join(mutated)
+                cigar = [(len(seq), "M")]
             records.append((pos0, f"{locus.id}_read{ri}", seq, cigar))
 
     records.sort(key=lambda r: r[0])

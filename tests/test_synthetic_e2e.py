@@ -253,3 +253,34 @@ def test_meth_plot_e2e(tmp_path):
     assert rc == 0
     data = open(out).read()
     assert "#FF0000" in data  # fully methylated gradient color
+
+
+def test_stress_errors_many_loci(tmp_path):
+    """120 loci, varied motifs/genotypes, 1% read error rate — exercises
+    flank-alignment fallbacks, consensus repair, heterogeneous HMM
+    batches, and both genotypers at realistic shapes."""
+    import random
+    rng = random.Random(5)
+    motifs = ["CAG", "GGC", "AT", "AAAG", "CTG"]
+    loci = []
+    for i in range(120):
+        motif = motifs[i % len(motifs)]
+        ref = rng.randint(8, 20)
+        a1 = rng.randint(8, 25)
+        a2 = rng.choice([a1, rng.randint(8, 40)])
+        loci.append(SynthLocus(f"L{i}", motif, ref, tuple(sorted((a1, a2)))))
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=16,
+                                   error_rate=0.01)
+    records = run_genotype(tmp_path, fasta, bed, bam)
+    assert len(records) == 120
+    n_correct = 0
+    for i, locus in enumerate(loci):
+        cols, s = records[f"L{i}"]
+        if s["AL"] == ".":
+            continue
+        got = sorted(int(x) for x in s["AL"].split(","))
+        want = sorted(c * len(locus.motif) for c in locus.allele_copies)
+        if all(abs(g - w) <= len(locus.motif) for g, w in zip(got, want)):
+            n_correct += 1
+    # with 1% errors and depth 16 nearly all loci should genotype cleanly
+    assert n_correct >= 110, n_correct
