@@ -83,18 +83,34 @@ class BatchPipeline:
         return bam
 
     def process(self, loci, bam):
-        """Yields (locus, LocusResult) in input order, batch by batch."""
-        batch: List = []
-        for locus in loci:
-            batch.append(locus)
-            if len(batch) >= self.batch_size:
-                yield from self._run_batch(batch, bam)
-                batch = []
-        if batch:
-            yield from self._run_batch(batch, bam)
+        """Yields (locus, LocusResult) in input order, batch by batch.
+
+        Host read extraction of batch N+1 overlaps device compute of
+        batch N (double buffering)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def batches():
+            batch: List = []
+            for locus in loci:
+                batch.append(locus)
+                if len(batch) >= self.batch_size:
+                    yield batch
+                    batch = []
+            if batch:
+                yield batch
+
+        with ThreadPoolExecutor(1) as prefetch:
+            prev = None
+            for batch in batches():
+                fut = prefetch.submit(self._extract_batch, batch, bam)
+                if prev is not None:
+                    yield from self._finish_batch(prev.result())
+                prev = fut
+            if prev is not None:
+                yield from self._finish_batch(prev.result())
 
     # ---- batch driver ----
-    def _run_batch(self, loci, bam):
+    def _extract_batch(self, loci, bam):
         params = self.params
         states = []
         pending = []
@@ -120,7 +136,9 @@ class BatchPipeline:
         else:
             for st in pending:
                 extract_one(st)
+        return states
 
+    def _finish_batch(self, states):
         self._stage_spans(states)
         self._stage_impure_filter(states)
         self._stage_genotype(states)
