@@ -278,7 +278,9 @@ class BatchPipeline:
                 p = purities.get((id(st), ri), 1.0)
                 scored.append((read, span, p))
             max_filter = max(1, round(0.1 * len(scored)))
-            scored.sort(key=lambda t: t[2])
+            # f64::total_cmp semantics: NaN purity sorts last
+            scored.sort(key=lambda t: (math.isnan(t[2]),
+                                       0.0 if math.isnan(t[2]) else t[2]))
             num_filtered = 0
             kept = []
             for read, span, purity in scored:

@@ -7,6 +7,7 @@ engine (engine/batch.py); this module contains the exact per-locus
 decision logic."""
 
 import logging
+import math
 import random
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
@@ -281,7 +282,9 @@ def filter_impure_trs(locus, reads, spans, rq_cutoff: float,
             purity = calc_purity(q.encode(), hmm, motifs, labels)
             scored[i] = (read, span, purity)
 
-    scored.sort(key=lambda t: t[2])
+    # f64::total_cmp semantics: NaN purity sorts last
+    scored.sort(key=lambda t: (math.isnan(t[2]),
+                               0.0 if math.isnan(t[2]) else t[2]))
     num_filtered = 0
     kept = []
     for read, span, purity in scored:
