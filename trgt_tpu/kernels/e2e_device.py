@@ -48,11 +48,24 @@ def _e2e_scan(pattern_toks, text_toks, mism: int, gapo: int, gape: int):
                       jnp.where(j_int[None, :] == 1, 2, 2 | 8))
     bits0 = jnp.broadcast_to(bits0, (B, T + 1)).astype(jnp.uint8)
 
-    def combine(a, b):
-        av, ai = a
-        bv, bi = b
-        take_b = bv <= av
-        return (jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai))
+    def prefix_min_with_idx(base):
+        # Hillis-Steele min-scan with argmin; tie keeps the later k
+        v = base
+        idx = jnp.broadcast_to(j_int[None, :], base.shape)
+        shift = 1
+        width = base.shape[1]
+        while shift < width:
+            sv = jnp.concatenate(
+                [jnp.full((base.shape[0], shift), INF), v[:, :-shift]],
+                axis=1)
+            sidx = jnp.concatenate(
+                [jnp.zeros((base.shape[0], shift), jnp.int32),
+                 idx[:, :-shift]], axis=1)
+            take = sv < v
+            v = jnp.where(take, sv, v)
+            idx = jnp.where(take, sidx, idx)
+            shift *= 2
+        return v, idx
 
     def row_step(carry, p_tok):
         H_prev, D_prev = carry
@@ -70,9 +83,7 @@ def _e2e_scan(pattern_toks, text_toks, mism: int, gapo: int, gape: int):
         H_noI = jnp.where(take_d, D_row, diag)
 
         base = H_noI + go_ge - ge * j_idx[None, :] - ge
-        vals, idxs = jax.lax.associative_scan(
-            combine, (base, jnp.broadcast_to(j_int[None, :], (B, T + 1))),
-            axis=1)
+        vals, idxs = prefix_min_with_idx(base)
         I_row = jnp.concatenate(
             [jnp.full((B, 1), INF),
              vals[:, :-1] + ge * (j_idx[1:])[None, :]], axis=1)

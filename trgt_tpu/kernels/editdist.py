@@ -36,9 +36,17 @@ def _edit_scan(a_toks, b_toks):
 
     H0 = jnp.broadcast_to(j_idx[None, :], (B, T + 1))
 
-    def combine(a, b):
-        av, bv = a, b
-        return jnp.minimum(av, bv)
+    def prefix_min(x):
+        # Hillis-Steele min-scan (uniform shifts compile fast)
+        shift = 1
+        width = x.shape[1]
+        while shift < width:
+            sx = jnp.concatenate(
+                [jnp.full((x.shape[0], shift), INF), x[:, :-shift]],
+                axis=1)
+            x = jnp.minimum(x, sx)
+            shift *= 2
+        return x
 
     def row_step(H_prev, a_col):
         # a_col: (B,) token of sequence a at this row; 0 = padding row
@@ -52,7 +60,7 @@ def _edit_scan(a_toks, b_toks):
         pre = pre.at[:, 0].set(H_prev[:, 0] + 1.0)        # H[i][0] = i
         # left chain: H[j] = min(pre[j], min_k<j (pre[k] + (j-k)))
         scan_in = pre - j_idx[None, :]
-        cm = jax.lax.associative_scan(combine, scan_in, axis=1)
+        cm = prefix_min(scan_in)
         H_row = jnp.minimum(pre, cm + j_idx[None, :])
         H_new = jnp.where(active, H_row, H_prev)
         return H_new, None

@@ -59,12 +59,26 @@ def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
     LS0 = jnp.full((B, T + 1), -1.0, dtype=jnp.float32)   # last match j
     MD0, FSD0, LSD0 = M0, FS0, LS0                        # payload of D
 
-    def combine(a, b):
-        # min-plus segment combine for the prefix scan: (value, index)
-        av, ai = a
-        bv, bi = b
-        take_b = bv <= av          # tie prefers the later (larger-k) open
-        return (jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai))
+    def prefix_min_with_idx(base):
+        # Hillis-Steele min-scan carrying the argmin index; a uniform
+        # shift ladder compiles far faster than lax.associative_scan's
+        # irregular recursion. Tie rule: the later (larger-k) open wins.
+        v = base
+        idx = jnp.broadcast_to(j_int[None, :], base.shape)
+        shift = 1
+        width = base.shape[1]
+        while shift < width:
+            sv = jnp.concatenate(
+                [jnp.full((base.shape[0], shift), INF), v[:, :-shift]],
+                axis=1)
+            sidx = jnp.concatenate(
+                [jnp.zeros((base.shape[0], shift), jnp.int32),
+                 idx[:, :-shift]], axis=1)
+            take = sv < v
+            v = jnp.where(take, sv, v)
+            idx = jnp.where(take, sidx, idx)
+            shift *= 2
+        return v, idx
 
     def row_step(carry, row_in):
         (H_prev, D_prev, M_H, FS_H, LS_H, M_D, FS_D, LS_D) = carry
@@ -109,9 +123,7 @@ def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
         # (H_noI[k] + gapo - gape*k); I[j] = scan[j-1] + gape*j
         base = H_noI + go_ge - ge * j_idx[None, :] - ge
         # note: open at k, first gap col k+1 → cost H_noI[k]+gapo+gape*(j-k)
-        vals, idxs = jax.lax.associative_scan(
-            combine, (base, jnp.broadcast_to(j_int[None, :], (B, T + 1))),
-            axis=1)
+        vals, idxs = prefix_min_with_idx(base)
         I_row = jnp.concatenate(
             [jnp.full((B, 1), INF),
              vals[:, :-1] + ge * (j_idx[1:])[None, :]], axis=1)
