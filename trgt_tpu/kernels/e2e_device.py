@@ -154,6 +154,19 @@ def e2e_align_batch(pattern_texts: Sequence[Tuple[bytes, bytes]],
     '='/'X'/'I'/'D' ops ('I' consumes text, 'D' consumes pattern)."""
     if not pattern_texts:
         return []
+    # group by (pattern, text) length buckets to bound padding waste
+    buckets = {}
+    for i, (p, t) in enumerate(pattern_texts):
+        key = (_bucket(max(len(p), 1)), _bucket(max(len(t), 1)))
+        buckets.setdefault(key, []).append(i)
+    if len(buckets) > 1:
+        out = [None] * len(pattern_texts)
+        for _key, idxs in sorted(buckets.items()):
+            sub = e2e_align_batch([pattern_texts[i] for i in idxs],
+                                  mism, gapo, gape)
+            for i, r in zip(idxs, sub):
+                out[i] = r
+        return out
     if len(pattern_texts) > 512:
         out = []
         for lo, hi in chunk_ranges(len(pattern_texts)):

@@ -174,13 +174,26 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
     Returns list of (score, n_matches, (text_start, text_end))."""
     if not seqs:
         return []
+    assert len(patterns) == len(seqs)
+    # group by text-length bucket so short texts don't pad to the longest
+    buckets = {}
+    for i, s in enumerate(seqs):
+        buckets.setdefault(_bucket(len(s)), []).append(i)
+    if len(buckets) > 1:
+        out = [None] * len(seqs)
+        for _tb, idxs in sorted(buckets.items()):
+            sub = flank_align_batch_multi(
+                [patterns[i] for i in idxs], [seqs[i] for i in idxs],
+                mism, gapo, gape)
+            for i, r in zip(idxs, sub):
+                out[i] = r
+        return out
     if len(seqs) > 512:
         out = []
         for lo, hi in chunk_ranges(len(seqs)):
             out.extend(flank_align_batch_multi(
                 patterns[lo:hi], seqs[lo:hi], mism, gapo, gape))
         return out
-    assert len(patterns) == len(seqs)
     plen = len(patterns[0])
     assert all(len(p) == plen for p in patterns)
     T = _bucket(max(len(s) for s in seqs))
