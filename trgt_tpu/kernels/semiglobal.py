@@ -151,6 +151,22 @@ def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
     return H_fin, M_fin, FS_fin, LS_fin
 
 
+@functools.partial(jax.jit, static_argnames=("mism", "gapo", "gape"))
+def _semiglobal_scan_finalized(pattern_toks, text_toks, lens, mism: int,
+                               gapo: int, gape: int):
+    """Like _semiglobal_scan but reduces to per-item scalars on device
+    (score, matches, first, last) — the full rows never leave the chip,
+    which matters when host↔device bandwidth is the bottleneck."""
+    H_fin, M_fin, FS_fin, LS_fin = _semiglobal_scan(
+        pattern_toks, text_toks, mism, gapo, gape)
+    T1 = H_fin.shape[1]
+    j_int = jnp.arange(T1, dtype=jnp.int32)
+    masked = jnp.where(j_int[None, :] <= lens[:, None], H_fin, INF)
+    j_end = jnp.argmin(masked, axis=1)                  # first min
+    take = lambda A: jnp.take_along_axis(A, j_end[:, None], axis=1)[:, 0]
+    return take(masked), take(M_fin), take(FS_fin), take(LS_fin)
+
+
 def _tokenize(seqs: Sequence[bytes], length: int, pad: int) -> np.ndarray:
     """Raw-byte tokens (the reference compares raw bytes, so identical
     non-ACGT characters count as matches); pad byte 0 never occurs in
@@ -203,22 +219,22 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
     pattern_toks = np.zeros((B, plen), dtype=np.uint8)
     pattern_toks[:len(patterns)] = _tokenize(patterns, plen, pad=0)
 
-    lens = np.array([len(s) for s in seqs], dtype=np.int64)
-    H_fin, M_fin, FS_fin, LS_fin = _semiglobal_scan(
-        jnp.asarray(pattern_toks), jnp.asarray(text_toks), mism, gapo, gape)
-    H_fin = np.asarray(H_fin)
-    M_fin = np.asarray(M_fin)
-    FS_fin = np.asarray(FS_fin)
-    LS_fin = np.asarray(LS_fin)
+    lens = np.zeros(B, dtype=np.int32)
+    lens[:len(seqs)] = [len(s) for s in seqs]
+    score_a, m_a, fs_a, ls_a = _semiglobal_scan_finalized(
+        jnp.asarray(pattern_toks), jnp.asarray(text_toks),
+        jnp.asarray(lens), mism, gapo, gape)
+    score_a = np.asarray(score_a)
+    m_a = np.asarray(m_a)
+    fs_a = np.asarray(fs_a)
+    ls_a = np.asarray(ls_a)
 
     results = []
     for b in range(len(seqs)):
-        row = H_fin[b, :lens[b] + 1]
-        j_end = int(np.argmin(row))
-        score = float(row[j_end])
-        matches = int(M_fin[b, j_end])
-        fs = int(FS_fin[b, j_end])
-        ls = int(LS_fin[b, j_end])
+        score = float(score_a[b])
+        matches = int(m_a[b])
+        fs = int(fs_a[b])
+        ls = int(ls_a[b])
         if fs < 0:
             results.append((score, 0, (0, 0)))
         else:

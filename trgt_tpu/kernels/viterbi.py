@@ -158,7 +158,10 @@ def _viterbi_scan(tokens, tables, num_levels: int):
     _, (preds, valids) = jax.lax.scan(step, col0, tokens[:, 1:].T)
     preds = jnp.concatenate([pred0[None], preds], axis=0)
     valids = jnp.concatenate([valid0[None], valids], axis=0)
-    return preds, valids
+    # compact transfer dtypes (host↔device bandwidth is precious over
+    # the tunnel); state count fits uint8 up to 255 states, int16 beyond
+    pred_dtype = jnp.uint8 if S <= 255 else jnp.int16
+    return preds.astype(pred_dtype), valids.astype(jnp.uint8)
 
 
 
