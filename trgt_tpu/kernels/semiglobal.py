@@ -80,9 +80,8 @@ def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
             shift *= 2
         return v, idx
 
-    def row_step(carry, row_in):
+    def one_row(carry, p_tok):
         (H_prev, D_prev, M_H, FS_H, LS_H, M_D, FS_D, LS_D) = carry
-        p_tok = row_in                                   # (B,)
 
         # D: gap in text (consume pattern), from previous row
         d_open = H_prev + go_ge
@@ -140,12 +139,26 @@ def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
         FS_out = jnp.where(take_i, FS_I, FS_n)
         LS_out = jnp.where(take_i, LS_I, LS_n)
 
-        new_carry = (H_row, D_row, M_out, FS_out, LS_out, M_Dr, FS_Dr,
-                     LS_Dr)
-        return new_carry, None
+        # padded rows (token 0) leave the carry unchanged
+        active = (p_tok != 0)[:, None]
+        old = (H_prev, D_prev, M_H, FS_H, LS_H, M_D, FS_D, LS_D)
+        new = (H_row, D_row, M_out, FS_out, LS_out, M_Dr, FS_Dr, LS_Dr)
+        return tuple(jnp.where(active, n, o) for n, o in zip(new, old))
+
+    ROW_BLOCK = 8  # rows per scan step — fewer launches, same math
+
+    def row_step(carry, rows_in):
+        # rows_in: (ROW_BLOCK, B)
+        for r in range(ROW_BLOCK):
+            carry = one_row(carry, rows_in[r])
+        return carry, None
+
+    P_pad = ((P + ROW_BLOCK - 1) // ROW_BLOCK) * ROW_BLOCK
+    pat = jnp.pad(pattern_toks, ((0, 0), (0, P_pad - P)))
+    rows = pat.T.reshape(P_pad // ROW_BLOCK, ROW_BLOCK, B)
 
     carry = (H0, D0, M0, FS0, LS0, MD0, FSD0, LSD0)
-    carry, _ = jax.lax.scan(row_step, carry, pattern_toks.T)
+    carry, _ = jax.lax.scan(row_step, carry, rows)
     H_fin, _, M_fin, FS_fin, LS_fin, _, _, _ = carry
 
     return H_fin, M_fin, FS_fin, LS_fin
