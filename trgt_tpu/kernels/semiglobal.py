@@ -59,26 +59,27 @@ def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
     LS0 = jnp.full((B, T + 1), -1.0, dtype=jnp.float32)   # last match j
     MD0, FSD0, LSD0 = M0, FS0, LS0                        # payload of D
 
-    def prefix_min_with_idx(base):
-        # Hillis-Steele min-scan carrying the argmin index; a uniform
-        # shift ladder compiles far faster than lax.associative_scan's
-        # irregular recursion. Tie rule: the later (larger-k) open wins.
+    def prefix_min_with_payload(base, payloads):
+        # Hillis-Steele min-scan carrying payload arrays through the same
+        # selection masks — NO gathers (dynamic gathers in a scan body are
+        # a compile catastrophe on TPU). Tie rule: later (larger-k) wins.
         v = base
-        idx = jnp.broadcast_to(j_int[None, :], base.shape)
+        ps = list(payloads)
         shift = 1
         width = base.shape[1]
+        Bn = base.shape[0]
         while shift < width:
             sv = jnp.concatenate(
-                [jnp.full((base.shape[0], shift), INF), v[:, :-shift]],
-                axis=1)
-            sidx = jnp.concatenate(
-                [jnp.zeros((base.shape[0], shift), jnp.int32),
-                 idx[:, :-shift]], axis=1)
+                [jnp.full((Bn, shift), INF), v[:, :-shift]], axis=1)
             take = sv < v
             v = jnp.where(take, sv, v)
-            idx = jnp.where(take, sidx, idx)
+            for k in range(len(ps)):
+                sp = jnp.concatenate(
+                    [jnp.zeros((Bn, shift), ps[k].dtype),
+                     ps[k][:, :-shift]], axis=1)
+                ps[k] = jnp.where(take, sp, ps[k])
             shift *= 2
-        return v, idx
+        return v, ps
 
     def one_row(carry, p_tok):
         (H_prev, D_prev, M_H, FS_H, LS_H, M_D, FS_D, LS_D) = carry
@@ -122,15 +123,15 @@ def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
         # (H_noI[k] + gapo - gape*k); I[j] = scan[j-1] + gape*j
         base = H_noI + go_ge - ge * j_idx[None, :] - ge
         # note: open at k, first gap col k+1 → cost H_noI[k]+gapo+gape*(j-k)
-        vals, idxs = prefix_min_with_idx(base)
+        vals, (pm, pfs, pls) = prefix_min_with_payload(
+            base, (M_n, FS_n, LS_n))
         I_row = jnp.concatenate(
             [jnp.full((B, 1), INF),
              vals[:, :-1] + ge * (j_idx[1:])[None, :]], axis=1)
-        k_star = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32), idxs[:, :-1]], axis=1)
-        M_I = jnp.take_along_axis(M_n, k_star, axis=1)
-        FS_I = jnp.take_along_axis(FS_n, k_star, axis=1)
-        LS_I = jnp.take_along_axis(LS_n, k_star, axis=1)
+        zero_col = jnp.zeros((B, 1), jnp.float32)
+        M_I = jnp.concatenate([zero_col, pm[:, :-1]], axis=1)
+        FS_I = jnp.concatenate([zero_col - 1, pfs[:, :-1]], axis=1)
+        LS_I = jnp.concatenate([zero_col - 1, pls[:, :-1]], axis=1)
 
         # H (priority: H_noI wins ties over I)
         take_i = I_row < H_noI
