@@ -34,9 +34,10 @@ import jax.numpy as jnp
 INF = jnp.float32(1e9)
 
 
-@functools.partial(jax.jit, static_argnames=("mism", "gapo", "gape"))
+@functools.partial(jax.jit, static_argnames=("mism", "gapo", "gape",
+                                             "use_ladder"))
 def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
-                     gape: int):
+                     gape: int, use_ladder: bool = True):
     """pattern_toks: (B, P) uint8; text_toks: (B, T) uint8 (255 = pad).
 
     Returns per-item (score (B,), matches (B,), first_match (B,),
@@ -123,15 +124,29 @@ def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
         # (H_noI[k] + gapo - gape*k); I[j] = scan[j-1] + gape*j
         base = H_noI + go_ge - ge * j_idx[None, :] - ge
         # note: open at k, first gap col k+1 → cost H_noI[k]+gapo+gape*(j-k)
-        vals, (pm, pfs, pls) = prefix_min_with_payload(
-            base, (M_n, FS_n, LS_n))
+        zero_col = jnp.zeros((B, 1), jnp.float32)
+        if use_ladder:
+            # TPU: payloads carried through the ladder — dynamic gathers
+            # in a scan body are a compile catastrophe there
+            vals, (pm, pfs, pls) = prefix_min_with_payload(
+                base, (M_n, FS_n, LS_n))
+            M_I = jnp.concatenate([zero_col, pm[:, :-1]], axis=1)
+            FS_I = jnp.concatenate([zero_col - 1, pfs[:, :-1]], axis=1)
+            LS_I = jnp.concatenate([zero_col - 1, pls[:, :-1]], axis=1)
+        else:
+            # CPU: value+argmin ladder, payloads fetched with one gather
+            vals, (kvals,) = prefix_min_with_payload(
+                base, (jnp.broadcast_to(
+                    j_int[None, :], base.shape).astype(jnp.float32),))
+            k_star = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.int32),
+                 kvals[:, :-1].astype(jnp.int32)], axis=1)
+            M_I = jnp.take_along_axis(M_n, k_star, axis=1)
+            FS_I = jnp.take_along_axis(FS_n, k_star, axis=1)
+            LS_I = jnp.take_along_axis(LS_n, k_star, axis=1)
         I_row = jnp.concatenate(
             [jnp.full((B, 1), INF),
              vals[:, :-1] + ge * (j_idx[1:])[None, :]], axis=1)
-        zero_col = jnp.zeros((B, 1), jnp.float32)
-        M_I = jnp.concatenate([zero_col, pm[:, :-1]], axis=1)
-        FS_I = jnp.concatenate([zero_col - 1, pfs[:, :-1]], axis=1)
-        LS_I = jnp.concatenate([zero_col - 1, pls[:, :-1]], axis=1)
 
         # H (priority: H_noI wins ties over I)
         take_i = I_row < H_noI
@@ -165,14 +180,16 @@ def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
     return H_fin, M_fin, FS_fin, LS_fin
 
 
-@functools.partial(jax.jit, static_argnames=("mism", "gapo", "gape"))
+@functools.partial(jax.jit, static_argnames=("mism", "gapo", "gape",
+                                             "use_ladder"))
 def _semiglobal_scan_finalized(pattern_toks, text_toks, lens, mism: int,
-                               gapo: int, gape: int):
+                               gapo: int, gape: int,
+                               use_ladder: bool = True):
     """Like _semiglobal_scan but reduces to per-item scalars on device
     (score, matches, first, last) — the full rows never leave the chip,
     which matters when host↔device bandwidth is the bottleneck."""
     H_fin, M_fin, FS_fin, LS_fin = _semiglobal_scan(
-        pattern_toks, text_toks, mism, gapo, gape)
+        pattern_toks, text_toks, mism, gapo, gape, use_ladder=use_ladder)
     T1 = H_fin.shape[1]
     j_int = jnp.arange(T1, dtype=jnp.int32)
     masked = jnp.where(j_int[None, :] <= lens[:, None], H_fin, INF)
@@ -235,9 +252,10 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
 
     lens = np.zeros(B, dtype=np.int32)
     lens[:len(seqs)] = [len(s) for s in seqs]
+    use_ladder = jax.default_backend() == "tpu"
     score_a, m_a, fs_a, ls_a = _semiglobal_scan_finalized(
         jnp.asarray(pattern_toks), jnp.asarray(text_toks),
-        jnp.asarray(lens), mism, gapo, gape)
+        jnp.asarray(lens), mism, gapo, gape, use_ladder=use_ladder)
     score_a = np.asarray(score_a)
     m_a = np.asarray(m_a)
     fs_a = np.asarray(fs_a)
