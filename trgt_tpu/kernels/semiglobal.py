@@ -35,9 +35,10 @@ INF = jnp.float32(1e9)
 
 
 @functools.partial(jax.jit, static_argnames=("mism", "gapo", "gape",
-                                             "use_ladder"))
+                                             "use_ladder", "row_block"))
 def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
-                     gape: int, use_ladder: bool = True):
+                     gape: int, use_ladder: bool = True,
+                     row_block: int = 8):
     """pattern_toks: (B, P) uint8; text_toks: (B, T) uint8 (255 = pad).
 
     Returns per-item (score (B,), matches (B,), first_match (B,),
@@ -161,7 +162,7 @@ def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
         new = (H_row, D_row, M_out, FS_out, LS_out, M_Dr, FS_Dr, LS_Dr)
         return tuple(jnp.where(active, n, o) for n, o in zip(new, old))
 
-    ROW_BLOCK = 8  # rows per scan step — fewer launches, same math
+    ROW_BLOCK = row_block  # rows per scan step — fewer launches, same math
 
     def row_step(carry, rows_in):
         # rows_in: (ROW_BLOCK, B)
@@ -189,7 +190,8 @@ def _semiglobal_scan_finalized(pattern_toks, text_toks, lens, mism: int,
     (score, matches, first, last) — the full rows never leave the chip,
     which matters when host↔device bandwidth is the bottleneck."""
     H_fin, M_fin, FS_fin, LS_fin = _semiglobal_scan(
-        pattern_toks, text_toks, mism, gapo, gape, use_ladder=use_ladder)
+        pattern_toks, text_toks, mism, gapo, gape, use_ladder=use_ladder,
+        row_block=8 if use_ladder else 1)
     T1 = H_fin.shape[1]
     j_int = jnp.arange(T1, dtype=jnp.int32)
     masked = jnp.where(j_int[None, :] <= lens[:, None], H_fin, INF)
