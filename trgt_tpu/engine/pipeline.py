@@ -202,19 +202,7 @@ class BatchPipeline:
 
     def _align_misses(self, patterns, texts, sc):
         if self.use_device:
-            import os
-            import jax
-            if jax.default_backend() == "tpu" and \
-                    os.environ.get("TRGT_TPU_KERNELS", "pallas") == "pallas":
-                from ..kernels.semiglobal_pallas import \
-                    flank_align_batch_pallas
-                try:
-                    return flank_align_batch_pallas(
-                        patterns, texts, sc.mism_scr, sc.gapo_scr,
-                        sc.gape_scr, interpret=False)
-                except Exception as e:
-                    log.warning("Pallas flank kernel failed (%s); "
-                                "falling back to XLA kernel", e)
+            # Pallas-vs-XLA selection lives inside the kernel module
             from ..kernels.semiglobal import flank_align_batch_multi
             return flank_align_batch_multi(patterns, texts, sc.mism_scr,
                                            sc.gapo_scr, sc.gape_scr)

@@ -86,6 +86,17 @@ def edit_distances_batch(pairs: Sequence[tuple]) -> List[int]:
         if len(a) > len(b):
             a, b = b, a
         norm.append((a, b))
+    from . import semiglobal
+    if semiglobal._use_pallas():
+        from .editdist_pallas import edit_distances_leaf_pallas
+        try:
+            return edit_distances_leaf_pallas(norm, interpret=False)
+        except Exception as e:
+            semiglobal._PALLAS_BROKEN = True
+            import logging
+            logging.getLogger("trgt").warning(
+                "Pallas edit-distance kernel failed (%s); using the XLA "
+                "kernel for the rest of the run", e)
     P = _bucket(max(len(a) for a, _ in norm))
     T = _bucket(max(len(b) for _, b in norm))
     B = _bucket(len(norm), minimum=8)

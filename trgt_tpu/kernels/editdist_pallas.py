@@ -1,14 +1,18 @@
 """Pallas TPU kernel: batched pairwise edit distance.
 
 Hand-written Mosaic kernel for the cluster genotyper's distance matrix
-(same semantics as kernels/editdist.py). The DP state lives in VMEM for
-the whole scan: the grid dimension walks the rows of sequence `a`
-(sequential on TPU, scratch persists across grid steps), each step doing
-one row update vectorized over (pairs × text columns) on the VPU. The
-intra-row insertion chain is a Hillis-Steele min-plus prefix scan
-(log2(T) shift+min passes) — no HBM traffic between rows.
+(same semantics as kernels/editdist.py, ref:
+src/trgt/genotype/genotype_cluster.rs:236-286). The DP state lives in
+VMEM for the whole scan: the grid dimension walks the rows of sequence
+`a` (sequential on TPU, scratch persists across grid steps), each step
+doing one row update vectorized over (pairs × text columns) on the VPU.
+The intra-row insertion chain is a Hillis-Steele min-plus prefix scan
+(log2(W) shift+min passes) — no HBM traffic between rows.
 
-Runs compiled on TPU; `interpret=True` is used on CPU (tests/fallback).
+Mosaic constraints honored (see kernels/semiglobal_pallas.py): the
+per-row token of `a` is extracted with a one-hot lane reduction instead
+of a dynamic lane index, and every row array is 128-lane aligned (junk
+columns past each item's text length are masked at the device finalize).
 """
 
 import functools
@@ -25,88 +29,125 @@ from jax.experimental.pallas import tpu as pltpu
 INF = 1e9
 
 
-def _edit_row_kernel(a_ref, b_ref, out_ref, h_scratch):
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def _edit_row_kernel(a_ref, b_ref, lens_ref, out_ref, h_scratch):
     i = pl.program_id(1)
-    T1 = h_scratch.shape[1]              # T + 1
+    num_rows = pl.num_programs(1)
+    B = h_scratch.shape[0]
+    W = h_scratch.shape[1]            # lane-aligned row width ≥ T + 1
+    Pp = a_ref.shape[1]
     # Mosaic iota must be integer-typed
-    j_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T1), 1).astype(
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1).astype(
         jnp.float32)
 
     @pl.when(i == 0)
     def _():
-        h_scratch[:, :] = jnp.broadcast_to(j_idx, h_scratch.shape)
+        h_scratch[:, :] = j_idx
 
-    a_col = a_ref[:, pl.ds(i, 1)]                     # (B, 1) uint8… as i32
-    active = (a_col != 0)                             # (B, 1)
-    is_match = b_ref[:, :] == a_col                   # (B, T)
+    # per-row token of `a` via one-hot lane reduction (no dynamic lane
+    # indexing: Mosaic requires provable 128-alignment there)
+    row_sel = (jax.lax.broadcasted_iota(jnp.int32, (B, Pp), 1)
+               == i).astype(jnp.int32)
+    a_col = jnp.sum(a_ref[:, :] * row_sel, axis=1, keepdims=True)  # (B,1)
+    active = a_col != 0
+    is_match = b_ref[:, :] == a_col                   # (B, W)
     sub = jnp.where(is_match, 0.0, 1.0)
 
     h_prev = h_scratch[:, :]
-    B = h_prev.shape[0]
+    # diag into column j consumes text char j-1
     diag = jnp.concatenate(
-        [jnp.full((B, 1), INF), h_prev[:, :-1] + sub], axis=1)
+        [jnp.full((B, 1), INF, jnp.float32),
+         (h_prev + sub)[:, :-1]], axis=1)
     up = h_prev + 1.0
     pre = jnp.minimum(diag, up)
     # left chain: H[j] = min_k<=j (pre[k] + (j - k)) via prefix min of
     # (pre[k] - k), Hillis-Steele over lanes
-    v = pre - jnp.broadcast_to(j_idx, pre.shape)
+    v = pre - j_idx
     shift = 1
-    while shift < T1:
+    while shift < W:
         shifted = jnp.concatenate(
-            [jnp.full((B, shift), INF), v[:, :-shift]], axis=1)
+            [jnp.full((B, shift), INF, jnp.float32), v[:, :-shift]],
+            axis=1)
         v = jnp.minimum(v, shifted)
         shift *= 2
-    h_row = jnp.minimum(pre, v + jnp.broadcast_to(j_idx, pre.shape))
+    h_row = jnp.minimum(pre, v + j_idx)
     h_new = jnp.where(active, h_row, h_prev)
     h_scratch[:, :] = h_new
-    out_ref[:, :] = h_new
+
+    # in-kernel finalize: one-hot-select H[·, len_b] (reductions only;
+    # no gather), so only B scalars leave the kernel
+    @pl.when(i == num_rows - 1)
+    def _():
+        lens_col = jnp.max(lens_ref[:, :].astype(jnp.float32), axis=1,
+                           keepdims=True)
+        sel = j_idx == lens_col
+        ed = jnp.sum(jnp.where(sel, h_new, 0.0), axis=1, keepdims=True)
+        out_ref[:, :] = ed * jnp.ones((B, 128), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _edit_scan_pallas(a_toks, b_toks, interpret: bool = False):
+def _edit_scan_pallas(a_toks, b_toks, lens_b, interpret: bool = False):
+    """Returns per-pair edit distances (B,) — the H[·, len_b] gather runs
+    on device, so only B scalars cross the host↔device link."""
     from .semiglobal_pallas import _pick_block
-    B, P = a_toks.shape
-    T = b_toks.shape[1]
-    BLK = _pick_block(B, T + 1, n_bufs=5)
-    return pl.pallas_call(
+    B, Pp = a_toks.shape
+    W = b_toks.shape[1]
+    BLK = _pick_block(B, W, n_bufs=10)
+    lens_2d = jnp.broadcast_to(lens_b[:, None].astype(jnp.int32),
+                               (B, 128))
+    H = pl.pallas_call(
         _edit_row_kernel,
-        grid=(B // BLK, P),
+        grid=(B // BLK, Pp),
         in_specs=[
-            pl.BlockSpec((BLK, P), lambda b, i: (b, 0),
+            pl.BlockSpec((BLK, Pp), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, T), lambda b, i: (b, 0),
+            pl.BlockSpec((BLK, W), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, 128), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLK, T + 1), lambda b, i: (b, 0),
+        out_specs=pl.BlockSpec((BLK, 128), lambda b, i: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T + 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((BLK, T + 1), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((BLK, W), jnp.float32)],
         interpret=interpret,
-    )(a_toks.astype(jnp.int32), b_toks.astype(jnp.int32))
+    )(a_toks.astype(jnp.int32), b_toks.astype(jnp.int32), lens_2d)
+    return H[:, 0]
 
 
+def edit_distances_leaf_pallas(pairs, interpret=None):
+    """Single-dispatch leaf (callers — kernels/editdist.
+    edit_distances_batch — handle chunking). Pairs are (a, b) with
+    len(a) <= len(b)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Pp = _round_up(max(len(a) for a, _ in pairs), 128)
+    W = _round_up(max(len(b) for _, b in pairs) + 1, 128)
+    B = _bucket(len(pairs), minimum=8)
+    a_toks = np.zeros((B, Pp), dtype=np.uint8)
+    b_toks = np.zeros((B, W), dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i, (a, b) in enumerate(pairs):
+        a_toks[i, :len(a)] = np.frombuffer(a, dtype=np.uint8)
+        b_toks[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    eds = np.asarray(_edit_scan_pallas(
+        jnp.asarray(a_toks), jnp.asarray(b_toks), jnp.asarray(lens),
+        interpret=interpret))
+    return [int(eds[i]) for i in range(len(pairs))]
 
 
 def edit_distances_batch_pallas(pairs, interpret=None):
-    """Pallas version of kernels.editdist.edit_distances_batch."""
+    """Pallas version of kernels.editdist.edit_distances_batch (kept as
+    a direct entry point for tests)."""
     if not pairs:
         return []
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     norm = []
     for a, b in pairs:
         if len(a) > len(b):
             a, b = b, a
         norm.append((a, b))
-    P = _bucket(max(len(a) for a, _ in norm))
-    T = _bucket(max(len(b) for _, b in norm), minimum=128)
-    B = _bucket(len(norm), minimum=8)
-    a_toks = np.zeros((B, P), dtype=np.uint8)
-    b_toks = np.zeros((B, T), dtype=np.uint8)
-    for i, (a, b) in enumerate(norm):
-        a_toks[i, :len(a)] = np.frombuffer(a, dtype=np.uint8)
-        b_toks[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
-    H = np.asarray(_edit_scan_pallas(jnp.asarray(a_toks),
-                                     jnp.asarray(b_toks),
-                                     interpret=interpret))
-    return [int(H[i, len(b)]) for i, (_, b) in enumerate(norm)]
+    return edit_distances_leaf_pallas(norm, interpret=interpret)

@@ -22,6 +22,8 @@ to WFA2's ends-free mode with those penalties.
 """
 
 import functools
+import logging
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -32,6 +34,18 @@ import jax
 import jax.numpy as jnp
 
 INF = jnp.float32(1e9)
+log = logging.getLogger("trgt")
+
+# Pallas is the preferred TPU path (single fused kernel per dispatch vs
+# one fused op per DP row); on the first Mosaic/compile failure we latch
+# to the XLA kernel so every later dispatch skips the broken compile.
+_PALLAS_BROKEN = False
+
+
+def _use_pallas() -> bool:
+    return (not _PALLAS_BROKEN
+            and jax.default_backend() == "tpu"
+            and os.environ.get("TRGT_TPU_KERNELS", "pallas") == "pallas")
 
 
 @functools.partial(jax.jit, static_argnames=("mism", "gapo", "gape",
@@ -245,6 +259,16 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
         return out
     plen = len(patterns[0])
     assert all(len(p) == plen for p in patterns)
+    global _PALLAS_BROKEN
+    if _use_pallas():
+        from .semiglobal_pallas import flank_align_leaf_pallas
+        try:
+            return flank_align_leaf_pallas(patterns, seqs, mism, gapo,
+                                           gape, interpret=False)
+        except Exception as e:
+            _PALLAS_BROKEN = True
+            log.warning("Pallas flank kernel failed (%s); using the XLA "
+                        "kernel for the rest of the run", e)
     T = _bucket(max(len(s) for s in seqs))
     B = _bucket(len(seqs), minimum=8)
     text_toks = np.zeros((B, T), dtype=np.uint8)

@@ -4,14 +4,24 @@ Mosaic port of kernels/semiglobal.py (the #1 hot op of `genotype`,
 ref: src/trgt/genotype/span_locater.rs). All DP state — cost rows for the
 H/D lattices plus the forward-carried match-count / first-match /
 last-match payloads — lives in VMEM scratch across the whole scan; the
-grid walks the P pattern rows sequentially, each step a (B, T+1) VPU row
+grid walks the P pattern rows sequentially, each step a (B, W) VPU row
 update. The within-row affine insertion chain is a Hillis-Steele min-plus
 prefix scan that carries its payloads through the same selection masks,
 so no gather ops are needed.
 
+Mosaic constraints honored here:
+  * no dynamic indexing along the lane axis — the per-row pattern token
+    is extracted with a one-hot lane reduction instead of `ref[:, i]`
+    (dynamic lane indices must be provably 128-aligned);
+  * every row array has a lane width that is a multiple of 128 (the DP
+    needs T+1 columns; we round up and mask at finalize — the prefix
+    structures only propagate left→right, so junk columns past the text
+    length never contaminate valid ones);
+  * iota is integer-typed (Mosaic requirement), cast to f32 after.
+
 Semantics match the jnp/XLA kernel exactly (same tie-break rules:
 diagonal ≻ D ≻ I; gap-open preferred over extend on ties; later gap-open
-column preferred within a row).
+column preferred within a row; first-minimum column wins at finalize).
 """
 
 import functools
@@ -28,15 +38,20 @@ from jax.experimental.pallas import tpu as pltpu
 INF = 1e9
 
 
-def _row_kernel(mism_go_ge_ref, pattern_ref, text_ref,
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def _row_kernel(mism_go_ge_ref, pattern_ref, text_ref, lens_ref,
                 h_out, m_out, fs_out, ls_out,
                 H, D, MH, FSH, LSH, MD, FSD, LSD):
     i = pl.program_id(1)
     num_rows = pl.num_programs(1)
     B = H.shape[0]
-    T1 = H.shape[1]
+    W = H.shape[1]            # row width, multiple of 128, ≥ text len + 1
+    Pp = pattern_ref.shape[1]
     # Mosaic iota must be integer-typed; convert to f32 afterwards
-    j_idx = jax.lax.broadcasted_iota(jnp.int32, (B, T1), 1).astype(
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1).astype(
         jnp.float32)
     mism = mism_go_ge_ref[0]
     go_ge = mism_go_ge_ref[1]
@@ -44,16 +59,21 @@ def _row_kernel(mism_go_ge_ref, pattern_ref, text_ref,
 
     @pl.when(i == 0)
     def _():
-        H[:, :] = jnp.zeros((B, T1), jnp.float32)
-        D[:, :] = jnp.full((B, T1), INF, jnp.float32)
-        MH[:, :] = jnp.zeros((B, T1), jnp.float32)
-        FSH[:, :] = jnp.full((B, T1), -1.0, jnp.float32)
-        LSH[:, :] = jnp.full((B, T1), -1.0, jnp.float32)
-        MD[:, :] = jnp.zeros((B, T1), jnp.float32)
-        FSD[:, :] = jnp.full((B, T1), -1.0, jnp.float32)
-        LSD[:, :] = jnp.full((B, T1), -1.0, jnp.float32)
+        H[:, :] = jnp.zeros((B, W), jnp.float32)
+        D[:, :] = jnp.full((B, W), INF, jnp.float32)
+        MH[:, :] = jnp.zeros((B, W), jnp.float32)
+        FSH[:, :] = jnp.full((B, W), -1.0, jnp.float32)
+        LSH[:, :] = jnp.full((B, W), -1.0, jnp.float32)
+        MD[:, :] = jnp.zeros((B, W), jnp.float32)
+        FSD[:, :] = jnp.full((B, W), -1.0, jnp.float32)
+        LSD[:, :] = jnp.full((B, W), -1.0, jnp.float32)
 
-    p_tok = pattern_ref[:, pl.ds(i, 1)]                  # (B, 1) int32
+    # per-row pattern token via one-hot lane reduction (NO dynamic lane
+    # index: Mosaic requires those to be provably 128-aligned)
+    row_sel = (jax.lax.broadcasted_iota(jnp.int32, (B, Pp), 1)
+               == i).astype(jnp.int32)
+    p_tok = jnp.sum(pattern_ref[:, :] * row_sel, axis=1,
+                    keepdims=True)                       # (B, 1) int32
 
     H_prev = H[:, :]
     D_prev = D[:, :]
@@ -69,19 +89,23 @@ def _row_kernel(mism_go_ge_ref, pattern_ref, text_ref,
     FS_Dr = jnp.where(take_ext, FS_D, FS_H)
     LS_Dr = jnp.where(take_ext, LS_D, LS_H)
 
-    # diagonal
-    is_match = text_ref[:, :] == p_tok                   # (B, T)
+    # diagonal: column j consumes text char j-1
+    is_match = text_ref[:, :] == p_tok                   # (B, W)
     subcost = jnp.where(is_match, 0.0, mism)
     inf_col = jnp.full((B, 1), INF, jnp.float32)
-    diag = jnp.concatenate([inf_col, H_prev[:, :-1] + subcost], axis=1)
+    diag = jnp.concatenate(
+        [inf_col, (H_prev + subcost)[:, :-1]], axis=1)
     zero_col = jnp.zeros((B, 1), jnp.float32)
     neg_col = zero_col - 1.0
     M_Hs = jnp.concatenate([zero_col, M_H[:, :-1]], axis=1)
     FS_Hs = jnp.concatenate([neg_col, FS_H[:, :-1]], axis=1)
     LS_Hs = jnp.concatenate([neg_col, LS_H[:, :-1]], axis=1)
-    false_col = jnp.zeros((B, 1), jnp.bool_)
-    m_here = jnp.concatenate([false_col, is_match], axis=1)
-    M_diag = M_Hs + m_here.astype(jnp.float32)
+    # NOTE: concatenating (B, 1) bool columns crashes Mosaic
+    # ("Check failed: limits[i] <= dim(i)"); shift the mask as f32
+    m_f = jnp.concatenate(
+        [zero_col, is_match[:, :-1].astype(jnp.float32)], axis=1)
+    m_here = m_f > 0.0
+    M_diag = M_Hs + m_f
     FS_diag = jnp.where(m_here & (FS_Hs < 0), j_idx - 1.0, FS_Hs)
     LS_diag = jnp.where(m_here, j_idx - 1.0, LS_Hs)
 
@@ -97,7 +121,7 @@ def _row_kernel(mism_go_ge_ref, pattern_ref, text_ref,
     v = H_noI + go_ge - ge * j_idx - ge
     pm, pfs, pls = M_n, FS_n, LS_n
     shift = 1
-    while shift < T1:
+    while shift < W:
         inf_fill = jnp.full((B, shift), INF, jnp.float32)
         zero_fill = jnp.zeros((B, shift), jnp.float32)
         sv = jnp.concatenate([inf_fill, v[:, :-shift]], axis=1)
@@ -110,9 +134,11 @@ def _row_kernel(mism_go_ge_ref, pattern_ref, text_ref,
         pfs = jnp.where(take, sfs, pfs)
         pls = jnp.where(take, sls, pls)
         shift *= 2
-    # I_row[j] = scan[j-1] + ge * j
-    I_row = jnp.concatenate(
-        [inf_col, v[:, :-1] + ge * j_idx[:, 1:]], axis=1)
+    # I_row[j] = scan[j-1] + ge * j. NOTE: slicing `j_idx` crashes Mosaic
+    # (broadcasted_iota stays a 1-sublane broadcast; slicing it trips
+    # "Check failed: limits[i] <= dim(i)") — shift v first, then add the
+    # full-width iota (column 0 is INF either way).
+    I_row = jnp.concatenate([inf_col, v[:, :-1]], axis=1) + ge * j_idx
     M_I = jnp.concatenate([zero_col, pm[:, :-1]], axis=1)
     FS_I = jnp.concatenate([neg_col, pfs[:, :-1]], axis=1)
     LS_I = jnp.concatenate([neg_col, pls[:, :-1]], axis=1)
@@ -124,23 +150,49 @@ def _row_kernel(mism_go_ge_ref, pattern_ref, text_ref,
     FS_out = jnp.where(take_i, FS_I, FS_n)
     LS_out = jnp.where(take_i, LS_I, LS_n)
 
+    # padded rows (token 0) leave the carry unchanged
+    active = p_tok != 0
+    H_row = jnp.where(active, H_row, H_prev)
+    D_row = jnp.where(active, D_row, D_prev)
+    M_out = jnp.where(active, M_out, M_H)
+    FS_out = jnp.where(active, FS_out, FS_H)
+    LS_out = jnp.where(active, LS_out, LS_H)
+    M_Dr = jnp.where(active, M_Dr, M_D)
+    FS_Dr = jnp.where(active, FS_Dr, FS_D)
+    LS_Dr = jnp.where(active, LS_Dr, LS_D)
+
     H[:, :] = H_row
     D[:, :] = D_row
     MH[:, :], FSH[:, :], LSH[:, :] = M_out, FS_out, LS_out
     MD[:, :], FSD[:, :], LSD[:, :] = M_Dr, FS_Dr, LS_Dr
 
+    # in-kernel finalize (reductions only — Mosaic has no cheap argmin/
+    # gather): first minimum over valid columns, then one-hot-select the
+    # payloads at that column. Outputs are (BLK, 128) scalar columns, so
+    # only ~4·B floats leave the kernel instead of 4·B·W.
     @pl.when(i == num_rows - 1)
     def _():
-        h_out[:, :] = H_row
-        m_out[:, :] = M_out
-        fs_out[:, :] = FS_out
-        ls_out[:, :] = LS_out
+        lens_col = jnp.max(lens_ref[:, :].astype(jnp.float32), axis=1,
+                           keepdims=True)
+        masked = jnp.where(j_idx <= lens_col, H_row, INF)
+        m_val = jnp.min(masked, axis=1, keepdims=True)
+        j_end = jnp.min(jnp.where(masked == m_val, j_idx, float(W)),
+                        axis=1, keepdims=True)
+        sel = j_idx == j_end
+        pick = lambda A: jnp.sum(jnp.where(sel, A, 0.0), axis=1,
+                                 keepdims=True)
+        ones = jnp.ones((B, 128), jnp.float32)
+        h_out[:, :] = m_val * ones
+        m_out[:, :] = pick(M_out) * ones
+        fs_out[:, :] = pick(FS_out) * ones
+        ls_out[:, :] = pick(LS_out) * ones
 
 
-def _pick_block(B: int, T1: int, n_bufs: int = 14) -> int:
+def _pick_block(B: int, T1: int, n_bufs: int = 24) -> int:
     """Largest batch block that (a) divides B and (b) keeps ~n_bufs
-    (BLK, T1) f32 buffers under ~10MB of VMEM."""
-    budget = 10 * 1024 * 1024 // (n_bufs * 4 * T1)
+    (BLK, T1) f32 buffers (scratch + double-buffered pipeline blocks +
+    in-kernel temporaries) under ~8MB of VMEM (hard scoped limit 16MB)."""
+    budget = 8 * 1024 * 1024 // (n_bufs * 4 * T1)
     blk = 8
     while blk * 2 <= min(B, max(8, budget)) and B % (blk * 2) == 0:
         blk *= 2
@@ -150,75 +202,96 @@ def _pick_block(B: int, T1: int, n_bufs: int = 14) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _semiglobal_pallas(pattern_toks, text_toks, penalties,
+def _semiglobal_pallas(pattern_toks, text_toks, penalties, lens,
                        interpret: bool = False):
-    B, P = pattern_toks.shape
-    T = text_toks.shape[1]
-    T1 = T + 1
+    """pattern_toks: (B, Pp) int-like, lane-padded with 0; the true
+    pattern length P is carried as the count of the longest pattern —
+    rows past each item's own length are 0 and skipped via `active`.
+    text_toks: (B, W) with W a multiple of 128 and ≥ max text len + 1.
+    Returns per-item scalars (score, matches, first, last): the finalize
+    (masked first-argmin over columns) runs on device, so only 4·B
+    scalars ever cross the host↔device link."""
+    B, Pp = pattern_toks.shape
+    W = text_toks.shape[1]
     f32 = jnp.float32
-    BLK = _pick_block(B, T1)
+    BLK = _pick_block(B, W)
     n_blocks = B // BLK
-    out_shapes = [jax.ShapeDtypeStruct((B, T1), f32)] * 4
+    out_shapes = [jax.ShapeDtypeStruct((B, 128), f32)] * 4
     # grid: (batch blocks, pattern rows) — rows iterate fastest, so the
     # per-block scratch carries the DP rows across the inner dimension
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_blocks, P),
+        grid=(n_blocks, Pp),
         in_specs=[
-            pl.BlockSpec((BLK, P), lambda b, i, *_: (b, 0),
+            pl.BlockSpec((BLK, Pp), lambda b, i, *_: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, T), lambda b, i, *_: (b, 0),
+            pl.BlockSpec((BLK, W), lambda b, i, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, 128), lambda b, i, *_: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((BLK, T1), lambda b, i, *_: (b, 0),
+        out_specs=[pl.BlockSpec((BLK, 128), lambda b, i, *_: (b, 0),
                                 memory_space=pltpu.VMEM)] * 4,
-        scratch_shapes=[pltpu.VMEM((BLK, T1), f32)] * 8,
+        scratch_shapes=[pltpu.VMEM((BLK, W), f32)] * 8,
     )
-    return pl.pallas_call(
+    lens_2d = jnp.broadcast_to(lens[:, None].astype(jnp.int32), (B, 128))
+    H_fin, M_fin, FS_fin, LS_fin = pl.pallas_call(
         _row_kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
     )(penalties, pattern_toks.astype(jnp.int32),
-      text_toks.astype(jnp.int32))
+      text_toks.astype(jnp.int32), lens_2d)
+    # finalize (first-min column + payload pick) runs inside the kernel;
+    # column 0 of each (B, 128) output holds the scalar
+    return H_fin[:, 0], M_fin[:, 0], FS_fin[:, 0], LS_fin[:, 0]
 
 
-
-
-def flank_align_batch_pallas(patterns, seqs, mism: int, gapo: int,
-                             gape: int, interpret=None):
-    """Pallas version of kernels.semiglobal.flank_align_batch_multi."""
-    if not seqs:
-        return []
+def flank_align_leaf_pallas(patterns, seqs, mism: int, gapo: int,
+                            gape: int, interpret=None):
+    """Single-dispatch leaf (all seqs share a length bucket; callers —
+    kernels/semiglobal.flank_align_batch_multi — handle bucketing and
+    chunking). Returns list of (score, n_matches, (start, end))."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    plen = len(patterns[0])
-    T = _bucket(max(len(s) for s in seqs))
+    plen = max(len(p) for p in patterns)
+    Pp = _round_up(plen, 128)
+    W = _round_up(max(len(s) for s in seqs) + 1, 128)
     B = _bucket(len(seqs), minimum=8)
-    pattern_toks = np.zeros((B, plen), dtype=np.uint8)
-    text_toks = np.zeros((B, T), dtype=np.uint8)
+    pattern_toks = np.zeros((B, Pp), dtype=np.uint8)
+    text_toks = np.zeros((B, W), dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
     for i, (p, s) in enumerate(zip(patterns, seqs)):
         pattern_toks[i, :len(p)] = np.frombuffer(p, dtype=np.uint8)
-        text_toks[i, :len(s)] = np.frombuffer(s[:T], dtype=np.uint8)
+        text_toks[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+        lens[i] = len(s)
     penalties = jnp.asarray(
         [float(mism), float(gapo + gape), float(gape)], dtype=jnp.float32)
-    H, M, FS, LS = _semiglobal_pallas(
+    score_a, m_a, fs_a, ls_a = _semiglobal_pallas(
         jnp.asarray(pattern_toks), jnp.asarray(text_toks), penalties,
-        interpret=interpret)
-    H = np.asarray(H)
-    M = np.asarray(M)
-    FS = np.asarray(FS)
-    LS = np.asarray(LS)
+        jnp.asarray(lens), interpret=interpret)
+    score_a = np.asarray(score_a)
+    m_a = np.asarray(m_a)
+    fs_a = np.asarray(fs_a)
+    ls_a = np.asarray(ls_a)
     results = []
     for b in range(len(seqs)):
-        row = H[b, :len(seqs[b]) + 1]
-        j_end = int(np.argmin(row))
-        score = float(row[j_end])
-        matches = int(M[b, j_end])
-        fs = int(FS[b, j_end])
-        ls = int(LS[b, j_end])
+        score = float(score_a[b])
+        matches = int(m_a[b])
+        fs = int(fs_a[b])
+        ls = int(ls_a[b])
         if fs < 0:
             results.append((score, 0, (0, 0)))
         else:
             results.append((score, matches, (fs, ls + 1)))
     return results
+
+
+def flank_align_batch_pallas(patterns, seqs, mism: int, gapo: int,
+                             gape: int, interpret=None):
+    """Pallas version of kernels.semiglobal.flank_align_batch_multi
+    (kept as a direct entry point for tests)."""
+    if not seqs:
+        return []
+    return flank_align_leaf_pallas(patterns, seqs, mism, gapo, gape,
+                                   interpret=interpret)
