@@ -7,10 +7,13 @@
 // §4.1 plus BAM record field decoding, exposed through a C ABI consumed
 // via ctypes (trgt_tpu/io/native.py).
 
+#include <algorithm>
+#include <cctype>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <cstdio>
+#include <utility>
 #include <vector>
 #include <zlib.h>
 
@@ -72,6 +75,59 @@ int trgt_bgzf_decompress(const uint8_t *comp, size_t comp_size,
         }
         pos += bsize;
     }
+    *out = (uint8_t *)malloc(result.size() ? result.size() : 1);
+    memcpy(*out, result.data(), result.size());
+    *out_size = result.size();
+    return 0;
+}
+
+// Decompress the BGZF blocks of one BAI chunk. `comp` starts at the
+// chunk's first block (coffset of the chunk-begin virtual offset);
+// cend_rel is the chunk-end block's offset relative to comp; u_end the
+// within-block offset of the chunk end. Emits the decompressed bytes
+// and `walk_end` = decompressed offset corresponding to (cend_rel,
+// u_end) — the record walk stops there.
+int trgt_bgzf_decompress_chunk(const uint8_t *comp, size_t comp_size,
+                               size_t cend_rel, uint32_t u_end,
+                               uint8_t **out, size_t *out_size,
+                               size_t *walk_end) {
+    std::vector<uint8_t> result;
+    result.reserve(comp_size * 3);
+    size_t pos = 0;
+    size_t end_block_start = (size_t)-1;
+    while (pos + 28 <= comp_size) {
+        if (pos == cend_rel) {
+            end_block_start = result.size();
+            if (u_end == 0) break;
+        }
+        if (pos > cend_rel && end_block_start != (size_t)-1) break;
+        int64_t bsize = block_size_at(comp + pos, comp_size - pos);
+        if (bsize < 0) return -1;
+        if (pos + bsize > comp_size) break;  // partial tail block
+        uint16_t xlen = comp[pos + 10] | (comp[pos + 11] << 8);
+        const uint8_t *cdata = comp + pos + 12 + xlen;
+        size_t cdata_len = bsize - 12 - xlen - 8;
+        uint32_t isize;
+        memcpy(&isize, comp + pos + bsize - 4, 4);
+        size_t off = result.size();
+        result.resize(off + isize);
+        if (isize > 0) {
+            z_stream zs;
+            memset(&zs, 0, sizeof(zs));
+            if (inflateInit2(&zs, -15) != Z_OK) return -3;
+            zs.next_in = const_cast<uint8_t *>(cdata);
+            zs.avail_in = (uInt)cdata_len;
+            zs.next_out = result.data() + off;
+            zs.avail_out = isize;
+            int ret = inflate(&zs, Z_FINISH);
+            inflateEnd(&zs);
+            if (ret != Z_STREAM_END) return -4;
+        }
+        pos += bsize;
+    }
+    *walk_end = (end_block_start == (size_t)-1)
+                    ? result.size()
+                    : end_block_start + u_end;
     *out = (uint8_t *)malloc(result.size() ? result.size() : 1);
     memcpy(*out, result.data(), result.size());
     *out_size = result.size();
@@ -167,6 +223,454 @@ void trgt_decode_seq(const uint8_t *packed, int32_t l_seq, char *out) {
         uint8_t b = packed[i >> 1];
         out[i] = SEQ_NT16[(i & 1) ? (b & 0xF) : (b >> 4)];
     }
+}
+
+// ---------------- batched read extraction ----------------
+//
+// Fused fetch → filter → decode → MM/ML methylation → SNP offsets →
+// region clip, mirroring the Python twin (trgt_tpu/engine/workflow.py
+// extract_reads + trgt_tpu/reads/{hifi_read,clip}.py; reference logic at
+// src/trgt/workflows/tr.rs:268-361, src/trgt/reads/read.rs:101-141,
+// clip_region.rs:19-190, snp.rs:51-78). One call per BAI chunk;
+// serialized records are deserialized into HiFiRead on the Python side.
+
+namespace {
+
+struct Blob {
+    std::vector<uint8_t> v;
+    void u8(uint8_t x) { v.push_back(x); }
+    void u16(uint16_t x) { raw(&x, 2); }
+    void i32(int32_t x) { raw(&x, 4); }
+    void u32(uint32_t x) { raw(&x, 4); }
+    void i64(int64_t x) { raw(&x, 8); }
+    void f32(float x) { raw(&x, 4); }
+    void raw(const void *p, size_t n) {
+        const uint8_t *b = (const uint8_t *)p;
+        v.insert(v.end(), b, b + n);
+    }
+};
+
+// op consumes reference: M(0) D(2) N(3) =(7) X(8)
+inline bool op_ref(uint32_t op) {
+    return op == 0 || op == 2 || op == 3 || op == 7 || op == 8;
+}
+// op consumes query: M(0) I(1) S(4) =(7) X(8)
+inline bool op_query(uint32_t op) {
+    return op == 0 || op == 1 || op == 4 || op == 7 || op == 8;
+}
+
+struct AuxVal {
+    bool found = false;
+    char typ = 0;
+    const uint8_t *p = nullptr;   // payload start
+    size_t len = 0;               // payload length (Z: excl. NUL)
+    char sub = 0;                 // B subtype
+    uint32_t count = 0;           // B count
+};
+
+// Walk the aux region looking for a 2-char tag. Returns found=false on
+// miss or malformed data.
+AuxVal find_aux(const uint8_t *aux, size_t n, const char tag[2]) {
+    AuxVal out;
+    size_t pos = 0;
+    while (pos + 3 <= n) {
+        const uint8_t *t = aux + pos;
+        char typ = (char)aux[pos + 2];
+        pos += 3;
+        size_t len = 0;
+        switch (typ) {
+            case 'A': case 'c': case 'C': len = 1; break;
+            case 's': case 'S': len = 2; break;
+            case 'i': case 'I': case 'f': len = 4; break;
+            case 'Z': case 'H': {
+                size_t e = pos;
+                while (e < n && aux[e]) e++;
+                len = e - pos;
+                if (t[0] == tag[0] && t[1] == tag[1]) {
+                    out.found = true; out.typ = typ;
+                    out.p = aux + pos; out.len = len;
+                    return out;
+                }
+                pos = e + 1;
+                continue;
+            }
+            case 'B': {
+                if (pos + 5 > n) return out;
+                char sub = (char)aux[pos];
+                uint32_t count;
+                memcpy(&count, aux + pos + 1, 4);
+                size_t esz = (sub == 'c' || sub == 'C') ? 1
+                           : (sub == 's' || sub == 'S') ? 2 : 4;
+                if (t[0] == tag[0] && t[1] == tag[1]) {
+                    out.found = true; out.typ = 'B'; out.sub = sub;
+                    out.count = count; out.p = aux + pos + 5;
+                    out.len = (size_t)count * esz;
+                    return out;
+                }
+                pos += 5 + (size_t)count * esz;
+                continue;
+            }
+            default: return out;  // unknown type: stop scanning
+        }
+        if (t[0] == tag[0] && t[1] == tag[1]) {
+            out.found = true; out.typ = typ; out.p = aux + pos;
+            out.len = len;
+            return out;
+        }
+        pos += len;
+    }
+    return out;
+}
+
+inline int64_t aux_int(const AuxVal &a) {
+    switch (a.typ) {
+        case 'c': return *(const int8_t *)a.p;
+        case 'C': return *(const uint8_t *)a.p;
+        case 's': { int16_t v; memcpy(&v, a.p, 2); return v; }
+        case 'S': { uint16_t v; memcpy(&v, a.p, 2); return v; }
+        case 'i': { int32_t v; memcpy(&v, a.p, 4); return v; }
+        case 'I': { uint32_t v; memcpy(&v, a.p, 4); return v; }
+    }
+    return INT64_MIN;
+}
+
+inline int64_t b_elem(const AuxVal &a, uint32_t i) {
+    switch (a.sub) {
+        case 'c': return ((const int8_t *)a.p)[i];
+        case 'C': return ((const uint8_t *)a.p)[i];
+        case 's': { int16_t v; memcpy(&v, a.p + 2 * i, 2); return v; }
+        case 'S': { uint16_t v; memcpy(&v, a.p + 2 * i, 2); return v; }
+        case 'i': { int32_t v; memcpy(&v, a.p + 4 * i, 4); return v; }
+        case 'I': { uint32_t v; memcpy(&v, a.p + 4 * i, 4); return v; }
+        case 'f': { float v; memcpy(&v, a.p + 4 * i, 4); return (int64_t)v; }
+    }
+    return 0;
+}
+
+inline char complement(char c) {
+    switch (c) {
+        case 'A': return 'T'; case 'C': return 'G';
+        case 'G': return 'C'; case 'T': return 'A';
+        case 'U': return 'A'; default: return 'N';
+    }
+}
+
+// MM/ML → per-CpG meth profile; mirrors trgt_tpu/reads/hifi_read.py
+// (_mods_from_mm_ml + extract_meth). Returns true if profile present
+// (meth filled), false for "None".
+bool decode_meth(const AuxVal &mm, const AuxVal &ml, const char *bases,
+                 int32_t l_seq, bool reverse, std::vector<uint8_t> &meth) {
+    if (!mm.found || mm.typ != 'Z' || mm.len == 0) return false;
+    // mods: (stored_pos, canonical, qual) — only C mods are projected
+    std::vector<std::pair<int32_t, int32_t>> cmods;  // (pos, qual)
+    size_t ml_index = 0;
+    bool ok = false, any_out = false;
+    const char *s = (const char *)mm.p;
+    size_t n = mm.len;
+    while (n > 0 && s[n - 1] == ';') n--;
+    size_t item_beg = 0;
+    std::vector<int32_t> canon_positions;
+    for (size_t i = 0; i <= n; i++) {
+        if (i < n && s[i] != ';') continue;
+        size_t item_end = i;
+        if (item_end > item_beg) {
+            // head = up to first ','
+            size_t head_end = item_beg;
+            while (head_end < item_end && s[head_end] != ',') head_end++;
+            size_t hl = head_end - item_beg;
+            const char *h = s + item_beg;
+            // ^([ACGTUN])([-+])([a-zA-Z]+|[0-9]+)([.?]?)$
+            if (hl < 3) return false;
+            char canonical = h[0];
+            if (!strchr("ACGTUN", canonical)) return false;
+            if (h[1] != '+' && h[1] != '-') return false;
+            size_t mod_beg = 2, mod_end = hl;
+            if (h[hl - 1] == '.' || h[hl - 1] == '?') mod_end = hl - 1;
+            if (mod_end <= mod_beg) return false;
+            bool alldig = true, allalpha = true;
+            for (size_t k = mod_beg; k < mod_end; k++) {
+                if (!isdigit((unsigned char)h[k])) alldig = false;
+                if (!isalpha((unsigned char)h[k])) allalpha = false;
+            }
+            if (!alldig && !allalpha) return false;
+            size_t n_mods = alldig ? 1 : (mod_end - mod_beg);
+            // canonical-base positions in ORIGINAL read orientation
+            canon_positions.clear();
+            if (reverse) {
+                char comp = complement(canonical);
+                for (int32_t k = 0; k < l_seq; k++)
+                    if (bases[l_seq - 1 - k] == comp)
+                        canon_positions.push_back(k);
+            } else {
+                for (int32_t k = 0; k < l_seq; k++)
+                    if (bases[k] == canonical || canonical == 'N')
+                        canon_positions.push_back(k);
+            }
+            // deltas
+            int64_t idx = -1;
+            size_t p = head_end;
+            while (p < item_end) {
+                p++;  // skip ','
+                int64_t delta = 0;
+                bool got = false;
+                while (p < item_end && isdigit((unsigned char)s[p])) {
+                    delta = delta * 10 + (s[p] - '0');
+                    p++; got = true;
+                }
+                if (!got) return false;
+                idx += delta + 1;
+                if (idx >= (int64_t)canon_positions.size()) break;
+                int32_t orig = canon_positions[idx];
+                int32_t stored = reverse ? (l_seq - 1 - orig) : orig;
+                for (size_t m = 0; m < n_mods; m++) {
+                    int64_t qual = (ml.found && ml_index < ml.count)
+                                       ? b_elem(ml, (uint32_t)ml_index) : 0;
+                    ml_index++;
+                    if (canonical == 'C')
+                        cmods.push_back({stored, (int32_t)qual});
+                    any_out = true;
+                }
+                ok = true;
+            }
+        }
+        item_beg = i + 1;
+    }
+    (void)ok; (void)any_out;  // empty mods → projection yields None below
+    // CpG sites of the stored sequence
+    std::vector<int32_t> cpg_idx;  // projection target per profile slot
+    for (int32_t k = 0; k + 1 < l_seq; k++)
+        if (bases[k] == 'C' && bases[k + 1] == 'G')
+            cpg_idx.push_back(k + (reverse ? 1 : 0));
+    size_t num_cpgs = cpg_idx.size();
+    std::vector<uint8_t> ans(num_cpgs, 0);
+    std::sort(cmods.begin(), cmods.end());
+    size_t ind = 0;
+    for (auto &pq : cmods) {
+        while (ind < num_cpgs && cpg_idx[ind] < pq.first) ind++;
+        if (ind < num_cpgs && pq.first == cpg_idx[ind]) {
+            ans[ind] = (uint8_t)pq.second;
+            ind++;
+        }
+    }
+    if (ind == 0) return false;
+    if (reverse) std::reverse(ans.begin(), ans.end());
+    meth = std::move(ans);
+    return true;
+}
+
+}  // namespace
+
+// Extract + clip reads from a decompressed BAM buffer walk.
+//
+// buf[start..walk_end): record stream. Filters: tid/pos window
+// [beg, end), unmapped / secondary / supplementary flags, rq >= min_rq.
+// region_{start,end}: locus region (offset + SNP bookkeeping);
+// clip_{lo,hi}: clip window (region ± 2×flank). n_pass counts reads
+// passing flag+rq filters (reservoir total); n_filt counts rq-filtered.
+// Serialized format (little-endian) per record — see Python
+// deserializer trgt_tpu/reads/native_extract.py.
+int trgt_extract_reads(const uint8_t *buf, size_t size, size_t start,
+                       size_t walk_end, int32_t tid, int32_t beg,
+                       int32_t end, int32_t region_start,
+                       int32_t region_end, int32_t clip_lo,
+                       int32_t clip_hi, double min_rq, uint8_t **out,
+                       size_t *out_size, int64_t *n_pass,
+                       int64_t *n_filt) {
+    Blob blob;
+    *n_pass = 0;
+    *n_filt = 0;
+    if (walk_end > size) walk_end = size;
+    size_t pos = start;
+    std::vector<char> seq;
+    std::vector<uint8_t> meth;
+    std::vector<uint32_t> clipped_ops;
+    std::vector<int32_t> mism;
+    while (pos + 4 <= size && pos < walk_end) {
+        int32_t block_size;
+        memcpy(&block_size, buf + pos, 4);
+        if (block_size < 32 || pos + 4 + (size_t)block_size > size)
+            return -1;
+        const uint8_t *rec = buf + pos + 4;
+        pos += 4 + block_size;
+        int32_t ref_id, rpos;
+        memcpy(&ref_id, rec, 4);
+        memcpy(&rpos, rec + 4, 4);
+        uint8_t l_read_name = rec[8];
+        uint8_t mapq = rec[9];
+        uint16_t n_cigar, flag;
+        memcpy(&n_cigar, rec + 12, 2);
+        memcpy(&flag, rec + 14, 2);
+        int32_t l_seq;
+        memcpy(&l_seq, rec + 16, 4);
+        if (ref_id != tid || rpos >= end) break;
+        if (flag & 0x4) continue;                    // unmapped
+        const uint8_t *cig = rec + 32 + l_read_name;
+        // reference end
+        int64_t ref_end = rpos;
+        for (uint16_t k = 0; k < n_cigar; k++) {
+            uint32_t v;
+            memcpy(&v, cig + 4 * k, 4);
+            if (op_ref(v & 0xF)) ref_end += v >> 4;
+        }
+        if (ref_end <= beg) continue;                // no overlap
+        if (flag & (0x100 | 0x800)) continue;        // secondary/suppl.
+        const uint8_t *packed = cig + 4 * n_cigar;
+        const uint8_t *quals = packed + (l_seq + 1) / 2;
+        const uint8_t *aux = quals + l_seq;
+        size_t aux_len = (rec + block_size) - aux;
+        AuxVal rq = find_aux(aux, aux_len, "rq");
+        float rq_val = 1.0f;
+        bool has_rq = rq.found && rq.typ == 'f';
+        if (has_rq) memcpy(&rq_val, rq.p, 4);
+        // compare in double like the Python twin (float(rq) < min_rq)
+        if ((double)(has_rq ? rq_val : 1.0f) < min_rq) {
+            (*n_filt)++;
+            continue;
+        }
+        (*n_pass)++;
+
+        // ---- clip to [clip_lo, clip_hi) (clip_region.rs:105-190) ----
+        // (clip window ⊇ fetch window, so overlap is guaranteed; keep
+        // the serialized stream aligned with n_pass if it ever isn't)
+        if (ref_end <= clip_lo || clip_hi <= rpos) { (*n_pass)--; continue; }
+        int64_t ref_pos = rpos;
+        int64_t query_pos = 0;
+        clipped_ops.clear();
+        uint32_t i = 0;
+        auto opv = [&](uint32_t k) {
+            uint32_t v; memcpy(&v, cig + 4 * k, 4); return v;
+        };
+        while (i < n_cigar) {
+            uint32_t v = opv(i);
+            int64_t rl = op_ref(v & 0xF) ? (v >> 4) : 0;
+            if (ref_pos + rl > clip_lo) break;
+            ref_pos += rl;
+            if (op_query(v & 0xF)) query_pos += v >> 4;
+            i++;
+        }
+        int64_t clipped_ref_start = ref_pos;
+        int64_t clipped_query_start = query_pos;
+        if (ref_pos < clip_lo && i < n_cigar) {
+            uint32_t v = opv(i);
+            uint32_t opc = v & 0xF;
+            int64_t op_len = v >> 4;
+            int64_t ref_outside = clip_lo - ref_pos;
+            int64_t clipped_len = (ref_pos + op_len <= clip_hi)
+                                      ? op_len - ref_outside
+                                      : (int64_t)clip_hi - clip_lo;
+            clipped_ops.push_back(((uint32_t)clipped_len << 4) | opc);
+            clipped_ref_start += ref_outside;
+            if (op_query(opc)) clipped_query_start += ref_outside;
+            ref_pos += op_len;
+            if (op_query(opc)) query_pos += op_len;
+            i++;
+        }
+        while (i < n_cigar) {
+            uint32_t v = opv(i);
+            uint32_t opc = v & 0xF;
+            int64_t rl = op_ref(opc) ? (v >> 4) : 0;
+            if (ref_pos + rl > clip_hi) break;
+            clipped_ops.push_back(v);
+            ref_pos += rl;
+            if (op_query(opc)) query_pos += v >> 4;
+            i++;
+        }
+        if (i < n_cigar && ref_pos < clip_hi) {
+            uint32_t v = opv(i);
+            clipped_ops.push_back(
+                ((uint32_t)(clip_hi - ref_pos) << 4) | (v & 0xF));
+        }
+        int64_t clip_q_len = 0;
+        for (uint32_t cv : clipped_ops)
+            if (op_query(cv & 0xF)) clip_q_len += cv >> 4;
+        int64_t clipped_query_end = clipped_query_start + clip_q_len;
+
+        // ---- decode full sequence (needed for meth + slicing) ----
+        seq.resize(l_seq);
+        for (int32_t k = 0; k < l_seq; k++) {
+            uint8_t b = packed[k >> 1];
+            seq[k] = SEQ_NT16[(k & 1) ? (b & 0xF) : (b >> 4)];
+        }
+        bool reverse = (flag & 0x10) != 0;
+
+        // ---- methylation ----
+        AuxVal mm = find_aux(aux, aux_len, "MM");
+        if (!mm.found) mm = find_aux(aux, aux_len, "Mm");
+        AuxVal ml = find_aux(aux, aux_len, "ML");
+        if (!ml.found) ml = find_aux(aux, aux_len, "Ml");
+        meth.clear();
+        bool has_meth =
+            decode_meth(mm, ml, seq.data(), l_seq, reverse, meth);
+        // clip meth to [clipped_query_start, clipped_query_end)
+        std::vector<uint8_t> meth_clip;
+        if (has_meth) {
+            size_t mi = 0;
+            for (int32_t k = 0; k + 1 < l_seq; k++) {
+                if (seq[k] == 'C' && seq[k + 1] == 'G') {
+                    if (k >= clipped_query_start && k < clipped_query_end
+                        && mi < meth.size())
+                        meth_clip.push_back(meth[mi]);
+                    mi++;
+                }
+            }
+        }
+
+        // ---- SNP mismatch offsets (full cigar, X ops outside region,
+        //      region intersect INCLUSIVE both ends) ----
+        mism.clear();
+        {
+            int64_t sref = rpos;
+            for (uint16_t k = 0; k < n_cigar; k++) {
+                uint32_t v = opv(k);
+                uint32_t opc = v & 0xF;
+                int64_t len = v >> 4;
+                if (opc == 8 &&
+                    !(region_start <= sref && sref <= region_end)) {
+                    int64_t diff = (sref < region_start)
+                                       ? sref - region_start
+                                       : sref - region_end;
+                    for (int64_t m = 0; m < len; m++)
+                        mism.push_back((int32_t)(diff + m));
+                }
+                if (op_ref(opc)) sref += len;
+            }
+        }
+
+        // ---- HP tag ----
+        AuxVal hp = find_aux(aux, aux_len, "HP");
+        int64_t hp_val = hp.found ? aux_int(hp) : INT64_MIN;
+
+        // ---- serialize ----
+        const char *qname = (const char *)(rec + 32);
+        uint32_t qlen = l_read_name > 0 ? l_read_name - 1 : 0;
+        blob.u32(qlen);
+        blob.raw(qname, qlen);
+        blob.u16(flag);
+        blob.u8(mapq);
+        blob.u8(has_rq ? 1 : 0);
+        blob.f32(rq_val);
+        blob.i32(hp_val == INT64_MIN ? INT32_MIN : (int32_t)hp_val);
+        blob.i64(clipped_ref_start);
+        blob.i32((int32_t)(rpos - region_start));       // start_offset
+        blob.i32((int32_t)(ref_end - region_end));      // end_offset
+        blob.u32((uint32_t)clip_q_len);
+        blob.raw(seq.data() + clipped_query_start, clip_q_len);
+        blob.raw(quals + clipped_query_start, clip_q_len);
+        if (has_meth) {
+            blob.i32((int32_t)meth_clip.size());
+            blob.raw(meth_clip.data(), meth_clip.size());
+        } else {
+            blob.i32(-1);
+        }
+        blob.u32((uint32_t)clipped_ops.size());
+        blob.raw(clipped_ops.data(), clipped_ops.size() * 4);
+        blob.i32((int32_t)mism.size());
+        blob.raw(mism.data(), mism.size() * 4);
+    }
+    *out = (uint8_t *)malloc(blob.v.size() ? blob.v.size() : 1);
+    memcpy(*out, blob.v.data(), blob.v.size());
+    *out_size = blob.v.size();
+    return 0;
 }
 
 // Scan BAM records in a decompressed buffer starting at `offset`.

@@ -29,8 +29,8 @@ from ..hmm import (Annotation, calc_purity, collapse_labels, count_motifs,
                    replace_invalid_bases)
 from ..utils import Genotyper, Ploidy
 from . import workflow
-from .workflow import (Allele, LocusResult, Params, cached_hmm, clip_reads,
-                       extract_reads, get_meth, uniform_downsample)
+from .workflow import (Allele, LocusResult, Params, cached_hmm,
+                       extract_and_clip_reads, get_meth, uniform_downsample)
 
 log = logging.getLogger("trgt")
 
@@ -125,9 +125,7 @@ class BatchPipeline:
 
         def extract_one(st):
             reader = self._thread_bam(bam)
-            reads = extract_reads(st.locus, reader, params)
-            st.reads = clip_reads(st.locus, 2 * params.search_flank_len,
-                                  reads)
+            st.reads = extract_and_clip_reads(st.locus, reader, params)
 
         if self.num_threads > 1 and len(pending) > 1:
             from concurrent.futures import ThreadPoolExecutor

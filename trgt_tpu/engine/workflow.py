@@ -88,9 +88,7 @@ def analyze_tr(locus, params: Params, bam, engine=None) -> LocusResult:
     # ref: tr.rs:24-109
     if locus.ploidy == Ploidy.ZERO:
         return LocusResult.empty()
-    reads = extract_reads(locus, bam, params)
-    clip_radius = 2 * params.search_flank_len
-    reads = clip_reads(locus, clip_radius, reads)
+    reads = extract_and_clip_reads(locus, bam, params)
     log.debug("%s: %d reads left after clipping", locus.id, len(reads))
 
     reads, spans = get_spanning_reads(locus, params, reads, engine)
@@ -146,6 +144,23 @@ def analyze_tr(locus, params: Params, bam, engine=None) -> LocusResult:
         classification = [1 - c for c in classification]
 
     return LocusResult(genotype, reads, spans, classification)
+
+
+def extract_and_clip_reads(locus, bam, params: Params) -> List[HiFiRead]:
+    """Fused extract+clip: native C++ fast path when available (one pass
+    over the BAI chunk: filter, decode, MM/ML meth, SNP offsets, clip),
+    else the Python twin below."""
+    import os
+    clip_radius = 2 * params.search_flank_len
+    if os.environ.get("TRGT_NATIVE_EXTRACT", "1") != "0":
+        from ..reads.native_extract import (extract_and_clip_native,
+                                            native_extract_available)
+        if native_extract_available(bam):
+            reads = extract_and_clip_native(locus, bam, params, clip_radius)
+            if reads is not None:
+                return reads
+    reads = extract_reads(locus, bam, params)
+    return clip_reads(locus, clip_radius, reads)
 
 
 def extract_reads(locus, bam, params: Params) -> List[HiFiRead]:
