@@ -3,11 +3,30 @@
 import struct
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
+
 from .bgzf import BgzfWriter
 from .bam import BamHeader, reg2bin, CIGAR_OPS
 
 SEQ_NT16_CODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
 CIGAR_OP_CODE = {op: i for i, op in enumerate(CIGAR_OPS)}
+
+# ASCII byte → 4-bit nibble code (unknown → 15 = N), upper+lower case
+_NT16_TABLE = bytearray([15]) * 256
+for _c, _i in SEQ_NT16_CODE.items():
+    _NT16_TABLE[ord(_c)] = _i
+    _NT16_TABLE[ord(_c.lower())] = _i
+_NT16_TABLE = bytes(_NT16_TABLE)
+
+
+def pack_seq(seq: str) -> bytes:
+    """4-bit pack a sequence (vectorized; the per-record hot path)."""
+    l_seq = len(seq)
+    codes = seq.encode("ascii").translate(_NT16_TABLE)
+    if l_seq % 2:
+        codes += b"\0"
+    arr = np.frombuffer(codes, dtype=np.uint8)
+    return ((arr[0::2] << 4) | arr[1::2]).tobytes()
 
 
 def encode_aux(tag: str, typ: str, value) -> bytes:
@@ -112,22 +131,18 @@ class BamWriter:
             bin_v = reg2bin(pos, pos + max(1, ref_len))
         else:
             bin_v = reg2bin(pos, pos + 1)
-        rec = struct.pack("<iiBBHHHIiii", ref_id, pos, len(qname_b), mapq,
-                          bin_v, n_cigar, flag, l_seq, -1, -1, 0)
-        rec += qname_b
-        for length, op in cigar:
-            rec += struct.pack("<I", (length << 4) | CIGAR_OP_CODE[op])
-        seq_bytes = bytearray((l_seq + 1) // 2)
-        for i, base in enumerate(seq):
-            code = SEQ_NT16_CODE.get(base.upper(), 15)
-            if i % 2 == 0:
-                seq_bytes[i >> 1] |= code << 4
-            else:
-                seq_bytes[i >> 1] |= code
-        rec += bytes(seq_bytes)
-        rec += bytes(qual)
-        for tag, typ, value in aux:
-            rec += encode_aux(tag, typ, value)
+        parts = [
+            struct.pack("<iiBBHHHIiii", ref_id, pos, len(qname_b), mapq,
+                        bin_v, n_cigar, flag, l_seq, -1, -1, 0),
+            qname_b,
+            struct.pack(f"<{n_cigar}I",
+                        *((length << 4) | CIGAR_OP_CODE[op]
+                          for length, op in cigar)),
+            pack_seq(seq),
+            bytes(qual),
+        ]
+        parts.extend(encode_aux(tag, typ, value) for tag, typ, value in aux)
+        rec = b"".join(parts)
         voff_start = self._bgzf.tell_virtual()
         self._bgzf.write(struct.pack("<i", len(rec)) + rec)
         if self._bai is not None:

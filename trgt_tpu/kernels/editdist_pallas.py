@@ -2,17 +2,21 @@
 
 Hand-written Mosaic kernel for the cluster genotyper's distance matrix
 (same semantics as kernels/editdist.py, ref:
-src/trgt/genotype/genotype_cluster.rs:236-286). The DP state lives in
-VMEM for the whole scan: the grid dimension walks the rows of sequence
-`a` (sequential on TPU, scratch persists across grid steps), each step
-doing one row update vectorized over (pairs × text columns) on the VPU.
-The intra-row insertion chain is a Hillis-Steele min-plus prefix scan
-(log2(W) shift+min passes) — no HBM traffic between rows.
+src/trgt/genotype/genotype_cluster.rs:236-286). The whole DP runs inside
+ONE kernel invocation per batch block: the rows of sequence `a` are
+walked by an in-kernel `lax.fori_loop` whose carry holds the DP row —
+no per-row grid steps (grid steps cost ~30-50µs each on TPU; see
+kernels/semiglobal_pallas.py for the measurements). Each iteration does
+one row update vectorized over (pairs × text columns) on the VPU; the
+intra-row insertion chain is a Hillis-Steele min-plus prefix scan
+(log2(W) shift+min passes).
 
 Mosaic constraints honored (see kernels/semiglobal_pallas.py): the
 per-row token of `a` is extracted with a one-hot lane reduction instead
-of a dynamic lane index, and every row array is 128-lane aligned (junk
-columns past each item's text length are masked at the device finalize).
+of a dynamic lane index, every row array is 128-lane aligned (junk
+columns past each item's text length are masked at the device
+finalize), and the loop carry is derived from a VMEM-loaded array so
+its layout is non-replicated.
 """
 
 import functools
@@ -23,6 +27,7 @@ from .bucket import bucket as _bucket
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -33,59 +38,54 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-def _edit_row_kernel(a_ref, b_ref, lens_ref, out_ref, h_scratch):
-    i = pl.program_id(1)
-    num_rows = pl.num_programs(1)
-    B = h_scratch.shape[0]
-    W = h_scratch.shape[1]            # lane-aligned row width ≥ T + 1
+def _edit_kernel(a_ref, b_ref, lens_ref, out_ref):
+    B = b_ref.shape[0]
+    W = b_ref.shape[1]            # lane-aligned row width ≥ T + 1
     Pp = a_ref.shape[1]
+    b_toks = b_ref[:, :]
+    a_toks = a_ref[:, :]
+    zf = b_toks.astype(jnp.float32) * 0.0
     # Mosaic iota must be integer-typed
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1).astype(
-        jnp.float32)
+        jnp.float32) + zf
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Pp), 1)
 
-    @pl.when(i == 0)
-    def _():
-        h_scratch[:, :] = j_idx
+    def body(i, h_prev):
+        # per-row token of `a` via one-hot lane reduction (no dynamic
+        # lane indexing: Mosaic requires provable 128-alignment there)
+        row_sel = (row_iota == i).astype(jnp.int32)
+        a_col = jnp.sum(a_toks * row_sel, axis=1, keepdims=True)  # (B,1)
+        active = a_col != 0
+        is_match = b_toks == a_col
+        sub = jnp.where(is_match, 0.0, 1.0)
+        # diag into column j consumes text char j-1
+        diag = jnp.concatenate(
+            [jnp.full((B, 1), INF, jnp.float32),
+             (h_prev + sub)[:, :-1]], axis=1)
+        up = h_prev + 1.0
+        pre = jnp.minimum(diag, up)
+        # left chain: H[j] = min_k<=j (pre[k] + (j - k)) via prefix min
+        # of (pre[k] - k), Hillis-Steele over lanes
+        v = pre - j_idx
+        shift = 1
+        while shift < W:
+            shifted = jnp.concatenate(
+                [jnp.full((B, shift), INF, jnp.float32), v[:, :-shift]],
+                axis=1)
+            v = jnp.minimum(v, shifted)
+            shift *= 2
+        h_row = jnp.minimum(pre, v + j_idx)
+        return jnp.where(active, h_row, h_prev)
 
-    # per-row token of `a` via one-hot lane reduction (no dynamic lane
-    # indexing: Mosaic requires provable 128-alignment there)
-    row_sel = (jax.lax.broadcasted_iota(jnp.int32, (B, Pp), 1)
-               == i).astype(jnp.int32)
-    a_col = jnp.sum(a_ref[:, :] * row_sel, axis=1, keepdims=True)  # (B,1)
-    active = a_col != 0
-    is_match = b_ref[:, :] == a_col                   # (B, W)
-    sub = jnp.where(is_match, 0.0, 1.0)
-
-    h_prev = h_scratch[:, :]
-    # diag into column j consumes text char j-1
-    diag = jnp.concatenate(
-        [jnp.full((B, 1), INF, jnp.float32),
-         (h_prev + sub)[:, :-1]], axis=1)
-    up = h_prev + 1.0
-    pre = jnp.minimum(diag, up)
-    # left chain: H[j] = min_k<=j (pre[k] + (j - k)) via prefix min of
-    # (pre[k] - k), Hillis-Steele over lanes
-    v = pre - j_idx
-    shift = 1
-    while shift < W:
-        shifted = jnp.concatenate(
-            [jnp.full((B, shift), INF, jnp.float32), v[:, :-shift]],
-            axis=1)
-        v = jnp.minimum(v, shifted)
-        shift *= 2
-    h_row = jnp.minimum(pre, v + j_idx)
-    h_new = jnp.where(active, h_row, h_prev)
-    h_scratch[:, :] = h_new
+    h_fin = lax.fori_loop(0, Pp, body, j_idx)
 
     # in-kernel finalize: one-hot-select H[·, len_b] (reductions only;
     # no gather), so only B scalars leave the kernel
-    @pl.when(i == num_rows - 1)
-    def _():
-        lens_col = jnp.max(lens_ref[:, :].astype(jnp.float32), axis=1,
-                           keepdims=True)
-        sel = j_idx == lens_col
-        ed = jnp.sum(jnp.where(sel, h_new, 0.0), axis=1, keepdims=True)
-        out_ref[:, :] = ed * jnp.ones((B, 128), jnp.float32)
+    lens_col = jnp.max(lens_ref[:, :].astype(jnp.float32), axis=1,
+                       keepdims=True)
+    sel = j_idx == lens_col
+    ed = jnp.sum(jnp.where(sel, h_fin, 0.0), axis=1, keepdims=True)
+    out_ref[:, :] = ed * jnp.ones((B, 128), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -99,20 +99,19 @@ def _edit_scan_pallas(a_toks, b_toks, lens_b, interpret: bool = False):
     lens_2d = jnp.broadcast_to(lens_b[:, None].astype(jnp.int32),
                                (B, 128))
     H = pl.pallas_call(
-        _edit_row_kernel,
-        grid=(B // BLK, Pp),
+        _edit_kernel,
+        grid=(B // BLK,),
         in_specs=[
-            pl.BlockSpec((BLK, Pp), lambda b, i: (b, 0),
+            pl.BlockSpec((BLK, Pp), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, W), lambda b, i: (b, 0),
+            pl.BlockSpec((BLK, W), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, 128), lambda b, i: (b, 0),
+            pl.BlockSpec((BLK, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLK, 128), lambda b, i: (b, 0),
+        out_specs=pl.BlockSpec((BLK, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((BLK, W), jnp.float32)],
         interpret=interpret,
     )(a_toks.astype(jnp.int32), b_toks.astype(jnp.int32), lens_2d)
     return H[:, 0]

@@ -1,13 +1,14 @@
 """Pallas TPU kernel: batched ends-free affine flank alignment.
 
 Mosaic port of kernels/semiglobal.py (the #1 hot op of `genotype`,
-ref: src/trgt/genotype/span_locater.rs). All DP state — cost rows for the
-H/D lattices plus the forward-carried match-count / first-match /
-last-match payloads — lives in VMEM scratch across the whole scan; the
-grid walks the P pattern rows sequentially, each step a (B, W) VPU row
-update. The within-row affine insertion chain is a Hillis-Steele min-plus
-prefix scan that carries its payloads through the same selection masks,
-so no gather ops are needed.
+ref: src/trgt/genotype/span_locater.rs). The whole DP runs inside ONE
+kernel invocation per batch block: the pattern rows are walked by an
+in-kernel `lax.fori_loop` whose carry holds the H/D cost rows plus the
+forward-carried match-count / first-match / last-match payloads — no
+per-row grid steps (grid steps cost ~30-50µs each on TPU; the fori
+variant measured 158x faster at bench shapes). The within-row affine
+insertion chain is a Hillis-Steele min-plus prefix scan that carries its
+payloads through the same selection masks, so no gather ops are needed.
 
 Mosaic constraints honored here:
   * no dynamic indexing along the lane axis — the per-row pattern token
@@ -17,7 +18,13 @@ Mosaic constraints honored here:
     needs T+1 columns; we round up and mask at finalize — the prefix
     structures only propagate left→right, so junk columns past the text
     length never contaminate valid ones);
-  * iota is integer-typed (Mosaic requirement), cast to f32 after.
+  * iota is integer-typed (Mosaic requirement), cast to f32 after;
+  * loop-carried values must have consistent non-replicated layouts —
+    the carry init and the iota are derived from a VMEM-loaded array
+    (`text * 0`) because `broadcasted_iota`/`full` produce replicated
+    layouts that crash Mosaic's relayout when fed through `select_n`
+    inside a loop ("Invalid relayout: Non-singleton logical dimension
+    is replicated in destination but not in source").
 
 Semantics match the jnp/XLA kernel exactly (same tie-break rules:
 diagonal ≻ D ≻ I; gap-open preferred over extend on ties; later gap-open
@@ -32,6 +39,7 @@ from .bucket import bucket as _bucket
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -42,156 +50,149 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-def _row_kernel(mism_go_ge_ref, pattern_ref, text_ref, lens_ref,
-                h_out, m_out, fs_out, ls_out,
-                H, D, MH, FSH, LSH, MD, FSD, LSD):
-    i = pl.program_id(1)
-    num_rows = pl.num_programs(1)
-    B = H.shape[0]
-    W = H.shape[1]            # row width, multiple of 128, ≥ text len + 1
+def _flank_kernel(mism_go_ge_ref, pattern_ref, text_ref, lens_ref,
+                  h_out, m_out, fs_out, ls_out):
+    B = text_ref.shape[0]
+    W = text_ref.shape[1]          # row width, multiple of 128, ≥ T + 1
     Pp = pattern_ref.shape[1]
-    # Mosaic iota must be integer-typed; convert to f32 afterwards
-    j_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1).astype(
-        jnp.float32)
     mism = mism_go_ge_ref[0]
     go_ge = mism_go_ge_ref[1]
     ge = mism_go_ge_ref[2]
-
-    @pl.when(i == 0)
-    def _():
-        H[:, :] = jnp.zeros((B, W), jnp.float32)
-        D[:, :] = jnp.full((B, W), INF, jnp.float32)
-        MH[:, :] = jnp.zeros((B, W), jnp.float32)
-        FSH[:, :] = jnp.full((B, W), -1.0, jnp.float32)
-        LSH[:, :] = jnp.full((B, W), -1.0, jnp.float32)
-        MD[:, :] = jnp.zeros((B, W), jnp.float32)
-        FSD[:, :] = jnp.full((B, W), -1.0, jnp.float32)
-        LSD[:, :] = jnp.full((B, W), -1.0, jnp.float32)
-
-    # per-row pattern token via one-hot lane reduction (NO dynamic lane
-    # index: Mosaic requires those to be provably 128-aligned)
-    row_sel = (jax.lax.broadcasted_iota(jnp.int32, (B, Pp), 1)
-               == i).astype(jnp.int32)
-    p_tok = jnp.sum(pattern_ref[:, :] * row_sel, axis=1,
-                    keepdims=True)                       # (B, 1) int32
-
-    H_prev = H[:, :]
-    D_prev = D[:, :]
-    M_H, FS_H, LS_H = MH[:, :], FSH[:, :], LSH[:, :]
-    M_D, FS_D, LS_D = MD[:, :], FSD[:, :], LSD[:, :]
-
-    # D: gap in text (consume pattern); tie prefers open
-    d_open = H_prev + go_ge
-    d_ext = D_prev + ge
-    take_ext = d_ext < d_open
-    D_row = jnp.where(take_ext, d_ext, d_open)
-    M_Dr = jnp.where(take_ext, M_D, M_H)
-    FS_Dr = jnp.where(take_ext, FS_D, FS_H)
-    LS_Dr = jnp.where(take_ext, LS_D, LS_H)
-
-    # diagonal: column j consumes text char j-1
-    is_match = text_ref[:, :] == p_tok                   # (B, W)
-    subcost = jnp.where(is_match, 0.0, mism)
+    text = text_ref[:, :]
+    pattern = pattern_ref[:, :]
+    # natural-layout zero: carries and iota must NOT be lane/sublane-
+    # replicated (see module docstring)
+    zf = text.astype(jnp.float32) * 0.0
+    # Mosaic iota must be integer-typed; convert to f32 afterwards
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1).astype(
+        jnp.float32) + zf
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Pp), 1)
     inf_col = jnp.full((B, 1), INF, jnp.float32)
-    diag = jnp.concatenate(
-        [inf_col, (H_prev + subcost)[:, :-1]], axis=1)
     zero_col = jnp.zeros((B, 1), jnp.float32)
     neg_col = zero_col - 1.0
-    M_Hs = jnp.concatenate([zero_col, M_H[:, :-1]], axis=1)
-    FS_Hs = jnp.concatenate([neg_col, FS_H[:, :-1]], axis=1)
-    LS_Hs = jnp.concatenate([neg_col, LS_H[:, :-1]], axis=1)
-    # NOTE: concatenating (B, 1) bool columns crashes Mosaic
-    # ("Check failed: limits[i] <= dim(i)"); shift the mask as f32
-    m_f = jnp.concatenate(
-        [zero_col, is_match[:, :-1].astype(jnp.float32)], axis=1)
-    m_here = m_f > 0.0
-    M_diag = M_Hs + m_f
-    FS_diag = jnp.where(m_here & (FS_Hs < 0), j_idx - 1.0, FS_Hs)
-    LS_diag = jnp.where(m_here, j_idx - 1.0, LS_Hs)
 
-    # H without I (diagonal wins ties over D)
-    take_d = D_row < diag
-    H_noI = jnp.where(take_d, D_row, diag)
-    M_n = jnp.where(take_d, M_Dr, M_diag)
-    FS_n = jnp.where(take_d, FS_Dr, FS_diag)
-    LS_n = jnp.where(take_d, LS_Dr, LS_diag)
+    def body(i, carry):
+        H_prev, D_prev, M_H, FS_H, LS_H, M_D, FS_D, LS_D = carry
+        # per-row pattern token via one-hot lane reduction (NO dynamic
+        # lane index: Mosaic requires those to be provably 128-aligned)
+        row_sel = (row_iota == i).astype(jnp.int32)
+        p_tok = jnp.sum(pattern * row_sel, axis=1, keepdims=True)
 
-    # I: prefix min over (H_noI[k] + gapo - gape*k), payloads carried
-    # through the same selection; strict < keeps later-k on ties
-    v = H_noI + go_ge - ge * j_idx - ge
-    pm, pfs, pls = M_n, FS_n, LS_n
-    shift = 1
-    while shift < W:
-        inf_fill = jnp.full((B, shift), INF, jnp.float32)
-        zero_fill = jnp.zeros((B, shift), jnp.float32)
-        sv = jnp.concatenate([inf_fill, v[:, :-shift]], axis=1)
-        sm = jnp.concatenate([zero_fill, pm[:, :-shift]], axis=1)
-        sfs = jnp.concatenate([zero_fill - 1.0, pfs[:, :-shift]], axis=1)
-        sls = jnp.concatenate([zero_fill - 1.0, pls[:, :-shift]], axis=1)
-        take = sv < v
-        v = jnp.where(take, sv, v)
-        pm = jnp.where(take, sm, pm)
-        pfs = jnp.where(take, sfs, pfs)
-        pls = jnp.where(take, sls, pls)
-        shift *= 2
-    # I_row[j] = scan[j-1] + ge * j. NOTE: slicing `j_idx` crashes Mosaic
-    # (broadcasted_iota stays a 1-sublane broadcast; slicing it trips
-    # "Check failed: limits[i] <= dim(i)") — shift v first, then add the
-    # full-width iota (column 0 is INF either way).
-    I_row = jnp.concatenate([inf_col, v[:, :-1]], axis=1) + ge * j_idx
-    M_I = jnp.concatenate([zero_col, pm[:, :-1]], axis=1)
-    FS_I = jnp.concatenate([neg_col, pfs[:, :-1]], axis=1)
-    LS_I = jnp.concatenate([neg_col, pls[:, :-1]], axis=1)
+        # deletion lattice (D): open vs extend, open wins ties
+        D_ext = D_prev + ge
+        D_open = H_prev + go_ge
+        take_ext = D_ext < D_open
+        D_row = jnp.where(take_ext, D_ext, D_open)
+        M_Dr = jnp.where(take_ext, M_D, M_H)
+        FS_Dr = jnp.where(take_ext, FS_D, FS_H)
+        LS_Dr = jnp.where(take_ext, LS_D, LS_H)
 
-    # H (H_noI wins ties over I)
-    take_i = I_row < H_noI
-    H_row = jnp.where(take_i, I_row, H_noI)
-    M_out = jnp.where(take_i, M_I, M_n)
-    FS_out = jnp.where(take_i, FS_I, FS_n)
-    LS_out = jnp.where(take_i, LS_I, LS_n)
+        # diagonal: column j consumes text char j-1
+        is_match = text == p_tok
+        subcost = jnp.where(is_match, 0.0, mism)
+        diag = jnp.concatenate(
+            [inf_col, (H_prev + subcost)[:, :-1]], axis=1)
+        M_Hs = jnp.concatenate([zero_col, M_H[:, :-1]], axis=1)
+        FS_Hs = jnp.concatenate([neg_col, FS_H[:, :-1]], axis=1)
+        LS_Hs = jnp.concatenate([neg_col, LS_H[:, :-1]], axis=1)
+        # NOTE: concatenating (B, 1) bool columns crashes Mosaic
+        # ("Check failed: limits[i] <= dim(i)"); shift the mask as f32
+        m_f = jnp.concatenate(
+            [zero_col, is_match[:, :-1].astype(jnp.float32)], axis=1)
+        m_here = m_f > 0.0
+        M_diag = M_Hs + m_f
+        FS_diag = jnp.where(m_here & (FS_Hs < 0), j_idx - 1.0, FS_Hs)
+        LS_diag = jnp.where(m_here, j_idx - 1.0, LS_Hs)
 
-    # padded rows (token 0) leave the carry unchanged
-    active = p_tok != 0
-    H_row = jnp.where(active, H_row, H_prev)
-    D_row = jnp.where(active, D_row, D_prev)
-    M_out = jnp.where(active, M_out, M_H)
-    FS_out = jnp.where(active, FS_out, FS_H)
-    LS_out = jnp.where(active, LS_out, LS_H)
-    M_Dr = jnp.where(active, M_Dr, M_D)
-    FS_Dr = jnp.where(active, FS_Dr, FS_D)
-    LS_Dr = jnp.where(active, LS_Dr, LS_D)
+        # H without insertions: diagonal ≻ D on ties
+        take_d = D_row < diag
+        H_noI = jnp.where(take_d, D_row, diag)
+        M_n = jnp.where(take_d, M_Dr, M_diag)
+        FS_n = jnp.where(take_d, FS_Dr, FS_diag)
+        LS_n = jnp.where(take_d, LS_Dr, LS_diag)
 
-    H[:, :] = H_row
-    D[:, :] = D_row
-    MH[:, :], FSH[:, :], LSH[:, :] = M_out, FS_out, LS_out
-    MD[:, :], FSD[:, :], LSD[:, :] = M_Dr, FS_Dr, LS_Dr
+        # insertion chain: I[j] = min_k<j (H_noI[k] + go + (j-k)*ge)
+        # via prefix min of (H_noI[k] + go_ge - ge*k - ge), payloads
+        # carried through the same selection masks
+        v = H_noI + go_ge - ge * j_idx - ge
+        pm, pfs, pls = M_n, FS_n, LS_n
+        shift = 1
+        while shift < W:
+            inf_fill = jnp.full((B, shift), INF, jnp.float32)
+            zero_fill = jnp.zeros((B, shift), jnp.float32)
+            sv = jnp.concatenate([inf_fill, v[:, :-shift]], axis=1)
+            sm = jnp.concatenate([zero_fill, pm[:, :-shift]], axis=1)
+            sfs = jnp.concatenate([zero_fill - 1.0, pfs[:, :-shift]],
+                                  axis=1)
+            sls = jnp.concatenate([zero_fill - 1.0, pls[:, :-shift]],
+                                  axis=1)
+            take = sv < v
+            v = jnp.where(take, sv, v)
+            pm = jnp.where(take, sm, pm)
+            pfs = jnp.where(take, sfs, pfs)
+            pls = jnp.where(take, sls, pls)
+            shift *= 2
+        # I_row[j] = scan[j-1] + ge * j. NOTE: slicing `j_idx` would be
+        # fine here (it has natural layout), but shifting v first keeps
+        # the op count down (column 0 is INF either way).
+        I_row = jnp.concatenate([inf_col, v[:, :-1]], axis=1) + ge * j_idx
+        M_I = jnp.concatenate([zero_col, pm[:, :-1]], axis=1)
+        FS_I = jnp.concatenate([neg_col, pfs[:, :-1]], axis=1)
+        LS_I = jnp.concatenate([neg_col, pls[:, :-1]], axis=1)
 
-    # in-kernel finalize (reductions only — Mosaic has no cheap argmin/
-    # gather): first minimum over valid columns, then one-hot-select the
-    # payloads at that column. Outputs are (BLK, 128) scalar columns, so
-    # only ~4·B floats leave the kernel instead of 4·B·W.
-    @pl.when(i == num_rows - 1)
-    def _():
-        lens_col = jnp.max(lens_ref[:, :].astype(jnp.float32), axis=1,
-                           keepdims=True)
-        masked = jnp.where(j_idx <= lens_col, H_row, INF)
-        m_val = jnp.min(masked, axis=1, keepdims=True)
-        j_end = jnp.min(jnp.where(masked == m_val, j_idx, float(W)),
-                        axis=1, keepdims=True)
-        sel = j_idx == j_end
-        pick = lambda A: jnp.sum(jnp.where(sel, A, 0.0), axis=1,
-                                 keepdims=True)
-        ones = jnp.ones((B, 128), jnp.float32)
-        h_out[:, :] = m_val * ones
-        m_out[:, :] = pick(M_out) * ones
-        fs_out[:, :] = pick(FS_out) * ones
-        ls_out[:, :] = pick(LS_out) * ones
+        take_i = I_row < H_noI
+        H_row = jnp.where(take_i, I_row, H_noI)
+        M_out = jnp.where(take_i, M_I, M_n)
+        FS_out = jnp.where(take_i, FS_I, FS_n)
+        LS_out = jnp.where(take_i, LS_I, LS_n)
+
+        # padded rows (token 0) leave the carry unchanged
+        active = p_tok != 0
+        return (jnp.where(active, H_row, H_prev),
+                jnp.where(active, D_row, D_prev),
+                jnp.where(active, M_out, M_H),
+                jnp.where(active, FS_out, FS_H),
+                jnp.where(active, LS_out, LS_H),
+                jnp.where(active, M_Dr, M_D),
+                jnp.where(active, FS_Dr, FS_D),
+                jnp.where(active, LS_Dr, LS_D))
+
+    init = (zf,                       # H row 0 (ends-free: free start)
+            zf + INF,                 # D
+            zf,                       # M_H
+            zf - 1.0,                 # FS_H
+            zf - 1.0,                 # LS_H
+            zf,                       # M_D
+            zf - 1.0,                 # FS_D
+            zf - 1.0)                 # LS_D
+    H_row, _D, M_out, FS_out, LS_out, _md, _fd, _ld = lax.fori_loop(
+        0, Pp, body, init)
+
+    # finalize (reductions only — Mosaic has no cheap argmin/gather):
+    # first minimum over valid columns, then one-hot-select the payloads
+    # at that column. Outputs are (BLK, 128) scalar columns, so only
+    # ~4·B floats leave the kernel instead of 4·B·W.
+    lens_col = jnp.max(lens_ref[:, :].astype(jnp.float32), axis=1,
+                       keepdims=True)
+    masked = jnp.where(j_idx <= lens_col, H_row, INF)
+    m_val = jnp.min(masked, axis=1, keepdims=True)
+    j_end = jnp.min(jnp.where(masked == m_val, j_idx, float(W)),
+                    axis=1, keepdims=True)
+    sel = j_idx == j_end
+    pick = lambda A: jnp.sum(jnp.where(sel, A, 0.0), axis=1,
+                             keepdims=True)
+    ones = jnp.ones((B, 128), jnp.float32)
+    h_out[:, :] = m_val * ones
+    m_out[:, :] = pick(M_out) * ones
+    fs_out[:, :] = pick(FS_out) * ones
+    ls_out[:, :] = pick(LS_out) * ones
 
 
 def _pick_block(B: int, T1: int, n_bufs: int = 24) -> int:
     """Largest batch block that (a) divides B and (b) keeps ~n_bufs
-    (BLK, T1) f32 buffers (scratch + double-buffered pipeline blocks +
-    in-kernel temporaries) under ~8MB of VMEM (hard scoped limit 16MB)."""
+    (BLK, T1) f32 buffers (loop carries + double-buffered pipeline
+    blocks + in-kernel temporaries) under ~8MB of VMEM (hard scoped
+    limit 16MB)."""
     budget = 8 * 1024 * 1024 // (n_bufs * 4 * T1)
     blk = 8
     while blk * 2 <= min(B, max(8, budget)) and B % (blk * 2) == 0:
@@ -204,9 +205,8 @@ def _pick_block(B: int, T1: int, n_bufs: int = 24) -> int:
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _semiglobal_pallas(pattern_toks, text_toks, penalties, lens,
                        interpret: bool = False):
-    """pattern_toks: (B, Pp) int-like, lane-padded with 0; the true
-    pattern length P is carried as the count of the longest pattern —
-    rows past each item's own length are 0 and skipped via `active`.
+    """pattern_toks: (B, Pp) int-like, lane-padded with 0; rows past
+    each item's own pattern length are 0 and skipped via `active`.
     text_toks: (B, W) with W a multiple of 128 and ≥ max text len + 1.
     Returns per-item scalars (score, matches, first, last): the finalize
     (masked first-argmin over columns) runs on device, so only 4·B
@@ -217,27 +217,21 @@ def _semiglobal_pallas(pattern_toks, text_toks, penalties, lens,
     BLK = _pick_block(B, W)
     n_blocks = B // BLK
     out_shapes = [jax.ShapeDtypeStruct((B, 128), f32)] * 4
-    # grid: (batch blocks, pattern rows) — rows iterate fastest, so the
-    # per-block scratch carries the DP rows across the inner dimension
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_blocks, Pp),
-        in_specs=[
-            pl.BlockSpec((BLK, Pp), lambda b, i, *_: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, W), lambda b, i, *_: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, 128), lambda b, i, *_: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[pl.BlockSpec((BLK, 128), lambda b, i, *_: (b, 0),
-                                memory_space=pltpu.VMEM)] * 4,
-        scratch_shapes=[pltpu.VMEM((BLK, W), f32)] * 8,
-    )
     lens_2d = jnp.broadcast_to(lens[:, None].astype(jnp.int32), (B, 128))
     H_fin, M_fin, FS_fin, LS_fin = pl.pallas_call(
-        _row_kernel,
-        grid_spec=grid_spec,
+        _flank_kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BLK, Pp), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, W), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((BLK, 128), lambda b: (b, 0),
+                                memory_space=pltpu.VMEM)] * 4,
         out_shape=out_shapes,
         interpret=interpret,
     )(penalties, pattern_toks.astype(jnp.int32),

@@ -39,7 +39,7 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_size_t)]
         lib.trgt_bgzf_decompress_chunk.restype = ctypes.c_int
         lib.trgt_extract_reads.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_size_t, ctypes.c_size_t,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -85,41 +85,30 @@ def extract_and_clip_native(locus, bam, params,
     for vbeg, vend in chunks:
         cbeg, ubeg = vbeg >> 16, vbeg & 0xFFFF
         cend, uend = vend >> 16, vend & 0xFFFF
-        with open(bam.path, "rb") as fh:
-            fh.seek(cbeg)
-            comp = fh.read(cend - cbeg + 65536)
-        buf_p = ctypes.POINTER(ctypes.c_uint8)()
-        buf_size = ctypes.c_size_t()
-        walk_end = ctypes.c_size_t()
-        rc = lib.trgt_bgzf_decompress_chunk(
-            comp, len(comp), cend - cbeg, uend,
-            ctypes.byref(buf_p), ctypes.byref(buf_size),
-            ctypes.byref(walk_end))
+        cached = _chunk_buffer(bam, lib, cbeg, cend, uend)
+        if cached is None:
+            return None
+        buf, walk_end = cached
+        blob_p = ctypes.POINTER(ctypes.c_uint8)()
+        blob_size = ctypes.c_size_t()
+        c_pass = ctypes.c_int64()
+        c_filt = ctypes.c_int64()
+        rc = lib.trgt_extract_reads(
+            buf, len(buf), ubeg, walk_end,
+            tid, beg, end,
+            region.start, region.end,
+            region.start - clip_radius, region.end + clip_radius,
+            float(params.min_read_qual),
+            ctypes.byref(blob_p), ctypes.byref(blob_size),
+            ctypes.byref(c_pass), ctypes.byref(c_filt))
         if rc != 0:
             return None
         try:
-            blob_p = ctypes.POINTER(ctypes.c_uint8)()
-            blob_size = ctypes.c_size_t()
-            c_pass = ctypes.c_int64()
-            c_filt = ctypes.c_int64()
-            rc = lib.trgt_extract_reads(
-                buf_p, buf_size.value, ubeg, walk_end.value,
-                tid, beg, end,
-                region.start, region.end,
-                region.start - clip_radius, region.end + clip_radius,
-                float(params.min_read_qual),
-                ctypes.byref(blob_p), ctypes.byref(blob_size),
-                ctypes.byref(c_pass), ctypes.byref(c_filt))
-            if rc != 0:
-                return None
-            try:
-                blobs.append(ctypes.string_at(blob_p, blob_size.value))
-            finally:
-                lib.trgt_buf_free(blob_p)
-            n_pass += c_pass.value
-            n_filt += c_filt.value
+            blobs.append(ctypes.string_at(blob_p, blob_size.value))
         finally:
-            lib.trgt_buf_free(buf_p)
+            lib.trgt_buf_free(blob_p)
+        n_pass += c_pass.value
+        n_filt += c_filt.value
 
     if n_filt > 0:
         log.warning("%s: Quality filtered %d/%d reads", locus.id, n_filt,
@@ -141,6 +130,43 @@ def extract_and_clip_native(locus, bam, params,
         keep = kept_idx
 
     return _deserialize(blob, region, keep)
+
+
+def _chunk_buffer(bam, lib, cbeg: int, cend: int, uend: int):
+    """Decompressed BAI-chunk buffer with a small per-reader LRU cache
+    (neighbouring loci usually share chunks)."""
+    cache = getattr(bam, "_native_chunk_cache", None)
+    if cache is None:
+        cache = {}
+        bam._native_chunk_cache = cache
+    key = (cbeg, cend, uend)
+    hit = cache.pop(key, None)
+    if hit is not None:
+        cache[key] = hit            # refresh LRU position
+        return hit
+    fh = getattr(bam, "_native_fh", None)
+    if fh is None:
+        fh = open(bam.path, "rb")
+        bam._native_fh = fh
+    fh.seek(cbeg)
+    comp = fh.read(cend - cbeg + 65536)
+    buf_p = ctypes.POINTER(ctypes.c_uint8)()
+    buf_size = ctypes.c_size_t()
+    walk_end = ctypes.c_size_t()
+    rc = lib.trgt_bgzf_decompress_chunk(
+        comp, len(comp), cend - cbeg, uend,
+        ctypes.byref(buf_p), ctypes.byref(buf_size),
+        ctypes.byref(walk_end))
+    if rc != 0:
+        return None
+    try:
+        entry = (ctypes.string_at(buf_p, buf_size.value), walk_end.value)
+    finally:
+        lib.trgt_buf_free(buf_p)
+    while len(cache) >= 4:
+        cache.pop(next(iter(cache)))
+    cache[key] = entry
+    return entry
 
 
 def _deserialize(blob: bytes, region: GenomicRegion,
