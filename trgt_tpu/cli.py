@@ -71,8 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "--shard-count, for multi-host runs")
     g.add_argument("--shard-count", dest="shard_count", type=int,
                    default=None)
-    g.add_argument("--batch-size", dest="batch_size", type=int, default=64,
-                   help="Loci per device batch")
+    g.add_argument("--batch-size", dest="batch_size", type=int, default=None,
+                   help="Loci per device batch (default 256 on device, "
+                        "64 on host: device dispatches have a fixed "
+                        "~90ms tunnel latency, so bigger batches "
+                        "amortize better)")
 
     # validate (ref: cli.rs ValidateArgs)
     v = sub.add_parser("validate", help="Tandem Repeat Catalog Validator")

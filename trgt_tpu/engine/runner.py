@@ -143,7 +143,8 @@ def run_genotype(args) -> None:
     from .pipeline import BatchPipeline
     pipeline = BatchPipeline(
         params, use_device=use_device,
-        batch_size=getattr(args, "batch_size", 64) or 64,
+        batch_size=(getattr(args, "batch_size", None)
+                    or (256 if use_device else 64)),
         num_threads=getattr(args, "num_threads", 1),
         bam_factory=lambda: BamReader(args.reads_path))
     loci = iter_loci(args.repeats_path, genome, karyotype, args.flank_len,

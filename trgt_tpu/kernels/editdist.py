@@ -75,6 +75,28 @@ def edit_distances_batch(pairs: Sequence[tuple]) -> List[int]:
     """Exact edit distances for a list of (bytes, bytes) pairs."""
     if not pairs:
         return []
+    from . import semiglobal
+    if semiglobal._use_pallas():
+        # one dispatch per 4096 pairs: tunnel dispatches cost ~90ms fixed
+        # vs ~1ms kernel time (see kernels/semiglobal.py)
+        from .editdist_pallas import edit_distances_leaf_pallas
+        norm = []
+        for a, b in pairs:
+            if len(a) > len(b):
+                a, b = b, a
+            norm.append((a, b))
+        try:
+            out = []
+            for lo, hi in chunk_ranges(len(norm), 4096):
+                out.extend(edit_distances_leaf_pallas(norm[lo:hi],
+                                                      interpret=False))
+            return out
+        except Exception as e:
+            semiglobal._PALLAS_BROKEN = True
+            import logging
+            logging.getLogger("trgt").warning(
+                "Pallas edit-distance kernel failed (%s); using the XLA "
+                "kernel for the rest of the run", e)
     if len(pairs) > 512:
         out = []
         for lo, hi in chunk_ranges(len(pairs)):
@@ -86,17 +108,6 @@ def edit_distances_batch(pairs: Sequence[tuple]) -> List[int]:
         if len(a) > len(b):
             a, b = b, a
         norm.append((a, b))
-    from . import semiglobal
-    if semiglobal._use_pallas():
-        from .editdist_pallas import edit_distances_leaf_pallas
-        try:
-            return edit_distances_leaf_pallas(norm, interpret=False)
-        except Exception as e:
-            semiglobal._PALLAS_BROKEN = True
-            import logging
-            logging.getLogger("trgt").warning(
-                "Pallas edit-distance kernel failed (%s); using the XLA "
-                "kernel for the rest of the run", e)
     P = _bucket(max(len(a) for a, _ in norm))
     T = _bucket(max(len(b) for _, b in norm))
     B = _bucket(len(norm), minimum=8)

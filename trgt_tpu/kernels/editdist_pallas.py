@@ -123,8 +123,11 @@ def edit_distances_leaf_pallas(pairs, interpret=None):
     len(a) <= len(b)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    Pp = _round_up(max(len(a) for a, _ in pairs), 128)
-    W = _round_up(max(len(b) for _, b in pairs) + 1, 128)
+    # bucket then lane-align to bound the distinct compile-shape count
+    Pp = _round_up(_bucket(max(len(a) for a, _ in pairs), minimum=128),
+                   128)
+    W = _round_up(_bucket(max(len(b) for _, b in pairs) + 1, minimum=128),
+                  128)
     B = _bucket(len(pairs), minimum=8)
     a_toks = np.zeros((B, Pp), dtype=np.uint8)
     b_toks = np.zeros((B, W), dtype=np.uint8)

@@ -238,6 +238,24 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
     if not seqs:
         return []
     assert len(patterns) == len(seqs)
+    global _PALLAS_BROKEN
+    if _use_pallas():
+        # ONE dispatch for the whole request: over the remote-TPU tunnel
+        # a dispatch costs ~90ms FIXED (transfer RTTs) while the kernel
+        # itself runs ~1ms, so text-length bucketing (which multiplies
+        # dispatches to save padded compute) is exactly backwards here.
+        from .semiglobal_pallas import flank_align_leaf_pallas
+        try:
+            out = []
+            for lo, hi in chunk_ranges(len(seqs), 4096):
+                out.extend(flank_align_leaf_pallas(
+                    patterns[lo:hi], seqs[lo:hi], mism, gapo, gape,
+                    interpret=False))
+            return out
+        except Exception as e:
+            _PALLAS_BROKEN = True
+            log.warning("Pallas flank kernel failed (%s); using the XLA "
+                        "kernel for the rest of the run", e)
     # group by text-length bucket so short texts don't pad to the longest
     buckets = {}
     for i, s in enumerate(seqs):
@@ -259,16 +277,6 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
         return out
     plen = len(patterns[0])
     assert all(len(p) == plen for p in patterns)
-    global _PALLAS_BROKEN
-    if _use_pallas():
-        from .semiglobal_pallas import flank_align_leaf_pallas
-        try:
-            return flank_align_leaf_pallas(patterns, seqs, mism, gapo,
-                                           gape, interpret=False)
-        except Exception as e:
-            _PALLAS_BROKEN = True
-            log.warning("Pallas flank kernel failed (%s); using the XLA "
-                        "kernel for the rest of the run", e)
     T = _bucket(max(len(s) for s in seqs))
     B = _bucket(len(seqs), minimum=8)
     text_toks = np.zeros((B, T), dtype=np.uint8)

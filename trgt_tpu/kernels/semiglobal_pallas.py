@@ -249,8 +249,10 @@ def flank_align_leaf_pallas(patterns, seqs, mism: int, gapo: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     plen = max(len(p) for p in patterns)
-    Pp = _round_up(plen, 128)
-    W = _round_up(max(len(s) for s in seqs) + 1, 128)
+    # bucket then lane-align so the distinct compile-shape count stays
+    # ~2·log2(range) (first compile over the tunnel costs ~2s/shape)
+    Pp = _round_up(_bucket(plen, minimum=128), 128)
+    W = _round_up(_bucket(max(len(s) for s in seqs) + 1, minimum=128), 128)
     B = _bucket(len(seqs), minimum=8)
     pattern_toks = np.zeros((B, Pp), dtype=np.uint8)
     text_toks = np.zeros((B, W), dtype=np.uint8)
