@@ -160,12 +160,51 @@ def run_genotype(args) -> None:
             raise ValueError("--shard-index must be in [0, --shard-count)")
         loci = (locus for i, locus in enumerate(loci)
                 if i % shard_count == shard_index)
-    for locus, results in pipeline.process(loci, bam):
-        vcf_writer.write(locus, results)
-        if bam_writer is not None:
-            write_spanning_reads(bam_writer, locus, results,
-                                 output_flank_len)
-        n_ok += 1
+    use_writer_thread = os.environ.get("TRGT_WRITER_THREAD", "1") != "0"
+    if use_writer_thread:
+        # Writer thread (the reference's genotype.rs:153-164 design):
+        # record building + BGZF deflate overlap the next batch's device
+        # waits (which release the GIL). Records stay in pipeline order.
+        import queue
+        import threading
+        write_queue: "queue.Queue" = queue.Queue(maxsize=4096)
+        writer_error = []
+
+        def writer_main():
+            while True:
+                item = write_queue.get()
+                if item is None:
+                    return
+                w_locus, w_results = item
+                try:
+                    vcf_writer.write(w_locus, w_results)
+                    if bam_writer is not None:
+                        write_spanning_reads(bam_writer, w_locus,
+                                             w_results, output_flank_len)
+                except Exception as e:   # surfaced on the main thread
+                    writer_error.append(e)
+                    return
+
+        writer_thread = threading.Thread(target=writer_main, daemon=True)
+        writer_thread.start()
+        try:
+            for locus, results in pipeline.process(loci, bam):
+                if writer_error:
+                    break
+                write_queue.put((locus, results))
+                n_ok += 1
+        finally:
+            write_queue.put(None)
+            writer_thread.join()
+        if writer_error:
+            raise writer_error[0]
+    else:
+        for locus, results in pipeline.process(loci, bam):
+            vcf_writer.write(locus, results)
+            if bam_writer is not None:
+                write_spanning_reads(bam_writer, locus, results,
+                                     output_flank_len)
+            n_ok += 1
 
     vcf_writer.close()
     if bam_writer is not None:

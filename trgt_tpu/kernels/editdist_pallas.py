@@ -88,11 +88,16 @@ def _edit_kernel(a_ref, b_ref, lens_ref, out_ref):
     out_ref[:, :] = ed * jnp.ones((B, 128), jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _edit_scan_pallas(a_toks, b_toks, lens_b, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "packed"))
+def _edit_scan_pallas(a_toks, b_toks, lens_b, interpret: bool = False,
+                      packed: bool = False):
     """Returns per-pair edit distances (B,) — the H[·, len_b] gather runs
-    on device, so only B scalars cross the host↔device link."""
-    from .semiglobal_pallas import _pick_block
+    on device, so only B scalars cross the host↔device link. packed=True
+    → token arrays arrive nibble-packed (see kernels/semiglobal_pallas)."""
+    from .semiglobal_pallas import _pick_block, _unpack_nibbles
+    if packed:
+        a_toks = _unpack_nibbles(a_toks)
+        b_toks = _unpack_nibbles(b_toks)
     B, Pp = a_toks.shape
     W = b_toks.shape[1]
     BLK = _pick_block(B, W, n_bufs=10)
@@ -136,9 +141,16 @@ def edit_distances_leaf_pallas(pairs, interpret=None):
         a_toks[i, :len(a)] = np.frombuffer(a, dtype=np.uint8)
         b_toks[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
         lens[i] = len(b)
+    from .semiglobal_pallas import _nibble_encode
+    a_packed = _nibble_encode(a_toks)
+    b_packed = _nibble_encode(b_toks)
+    if a_packed is not None and b_packed is not None:
+        a_toks, b_toks, packed = a_packed, b_packed, True
+    else:
+        packed = False
     eds = np.asarray(_edit_scan_pallas(
         jnp.asarray(a_toks), jnp.asarray(b_toks), jnp.asarray(lens),
-        interpret=interpret))
+        interpret=interpret, packed=packed))
     return [int(eds[i]) for i in range(len(pairs))]
 
 

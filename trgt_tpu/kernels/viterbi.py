@@ -159,9 +159,12 @@ def _viterbi_scan(tokens, tables, num_levels: int):
     preds = jnp.concatenate([pred0[None], preds], axis=0)
     valids = jnp.concatenate([valid0[None], valids], axis=0)
     # compact transfer dtypes (host↔device bandwidth is precious over
-    # the tunnel); state count fits uint8 up to 255 states, int16 beyond
+    # the tunnel: ~28ms fixed + ~50ms/MB per fetch); state count fits
+    # uint8 up to 255 states, int16 beyond. preds+valids travel STACKED
+    # so the stage pays ONE fetch.
     pred_dtype = jnp.uint8 if S <= 255 else jnp.int16
-    return preds.astype(pred_dtype), valids.astype(jnp.uint8)
+    return jnp.stack([preds.astype(pred_dtype),
+                      valids.astype(pred_dtype)])
 
 
 
@@ -206,9 +209,8 @@ def viterbi_batch_multi(hmms: Sequence[Hmm],
     tables_np, _ = _stack_tables(batch_hmms)
     num_levels = tables_np["level_masks"].shape[1]
     tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
-    preds, valids = _viterbi_scan(jnp.asarray(toks), tables, num_levels)
-    preds = np.asarray(preds)
-    valids = np.asarray(valids)
+    pv = np.asarray(_viterbi_scan(jnp.asarray(toks), tables, num_levels))
+    preds, valids = pv[0], pv[1]
     for b, (i, h, q) in enumerate(nonempty):
         out[i] = _traceback(h, preds[:, b, :], valids[:, b, :],
                             int(lens[b]))
