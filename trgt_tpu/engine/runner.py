@@ -89,12 +89,23 @@ def write_spanning_reads(bam_writer: BamWriter, locus, results,
                                 read.bases.decode(), read.quals, aux)
 
 
+def open_alignments(reads_path: str, genome_path: Optional[str] = None):
+    """BAM or CRAM reader by magic sniffing (ref: rust-htslib
+    IndexedReader::from_path + set_reference, commands/genotype.rs:46)."""
+    with open(reads_path, "rb") as fh:
+        magic = fh.read(4)
+    if magic == b"CRAM":
+        from ..io.cram import CramReader
+        return CramReader(reads_path, genome_path)
+    return BamReader(reads_path)
+
+
 def run_genotype(args) -> None:
     karyotype = Karyotype.new(args.karyotype)
     genotyper = Genotyper.from_str(args.genotyper)
     scoring = TrgtScoring.from_string(args.aln_scoring)
 
-    bam = BamReader(args.reads_path)
+    bam = open_alignments(args.reads_path, args.genome_path)
     if not bam.header.is_mapped():
         raise RuntimeError("Input BAM is not mapped")
     sample_name = args.sample_name or get_sample_name(args.reads_path,
@@ -146,7 +157,8 @@ def run_genotype(args) -> None:
         batch_size=(getattr(args, "batch_size", None)
                     or (256 if use_device else 64)),
         num_threads=getattr(args, "num_threads", 1),
-        bam_factory=lambda: BamReader(args.reads_path))
+        bam_factory=lambda: open_alignments(args.reads_path,
+                                            args.genome_path))
     loci = iter_loci(args.repeats_path, genome, karyotype, args.flank_len,
                      genotyper, on_error=on_error)
 

@@ -54,7 +54,9 @@ def _get_lib():
 
 
 def native_extract_available(bam) -> bool:
+    # BAM only (BGZF+BAI); CRAM input uses the Python extraction twin
     return (_get_lib() is not None
+            and hasattr(bam, "_bgzf")
             and hasattr(bam, "_load_index")
             and isinstance(getattr(bam, "path", None), str))
 
