@@ -82,3 +82,35 @@ def test_plot_squished_waterfall(genotyped, tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(out)
+
+
+def test_plot_pdf_vector(genotyped, tmp_path):
+    """PDF output is true vector (FlateDecode content stream with path
+    operators), not a rasterized image."""
+    import zlib
+    import re
+    example_dir = "/root/reference/example"
+    out = str(tmp_path / "allele.pdf")
+    rc = main([
+        "plot",
+        "--genome", os.path.join(example_dir, "reference.fasta"),
+        "--repeats", os.path.join(example_dir, "repeat.bed"),
+        "--vcf", genotyped + ".vcf.gz",
+        "--spanning-reads", genotyped + ".spanning.bam",
+        "--repeat-id", "TR1",
+        "--image", out,
+        "--plot-type", "allele",
+    ])
+    assert rc == 0
+    data = open(out, "rb").read()
+    assert data.startswith(b"%PDF-1.4")
+    assert data.rstrip().endswith(b"%%EOF")
+    m = re.search(rb"stream\n(.*?)\nendstream", data, re.S)
+    content = zlib.decompress(m.group(1)).decode("latin-1")
+    # vector drawing ops: rects, fills, text with the legend font
+    assert " re\n" in content or " re " in content.replace("\n", " ")
+    assert "Tj" in content and "/F1" in content
+    # the CAG motif color (#1383C6 -> 0.07 0.51 0.78 rg)
+    assert "0.07 0.51 0.78 rg" in content
+    # no embedded raster images
+    assert b"/Image" not in data and b"/DCTDecode" not in data

@@ -252,11 +252,6 @@ def _render_png(svg: str, plot: PipePlot, path: str) -> None:
 
 
 def _render_pdf(svg: str, plot: PipePlot, path: str) -> None:
-    try:
-        import cairosvg
-        cairosvg.svg2pdf(bytestring=svg.encode(), write_to=path)
-        return
-    except ImportError:
-        pass
-    from .raster import rasterize_plot_to_pdf
-    rasterize_plot_to_pdf(plot, path)
+    # true vector output (no rasterization), ref pipeplot/src/pdf.rs
+    from .vector_pdf import write_pdf
+    write_pdf(plot, path)

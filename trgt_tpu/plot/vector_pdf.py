@@ -1,0 +1,237 @@
+"""True vector PDF rendering of a PipePlot scene.
+
+Replaces the reference's svg2pdf path (ref: crates/pipeplot/src/pdf.rs)
+without external dependencies: a hand-written PDF 1.4 with one page
+whose content stream mirrors the SVG generator's drawing calls (rects,
+lines, arrow polygons, text). Text uses the base-14 Courier-Bold font
+(monospace, like the bundled RobotoMono), so labels need no font
+embedding and centering is exact (Courier glyphs are 600/1000 units).
+"""
+
+import zlib
+from typing import List, Tuple
+
+from .pipeplot import (DEFAULT_PADDING, DEFAULT_X_SCALE, DEFAULT_Y_SCALE,
+                       FontConfig, Pipe, PipePlot)
+
+_COURIER_W = 0.6        # glyph advance as a fraction of font size
+
+
+def _rgb(color: str) -> Tuple[float, float, float]:
+    c = color.strip()
+    named = {"black": "#000000", "white": "#ffffff", "gray": "#7e7f7f",
+             "grey": "#7e7f7f", "transparent": None}
+    if c.lower() in named:
+        c = named[c.lower()]
+        if c is None:
+            return None
+    if c.startswith("#") and len(c) == 7:
+        return (int(c[1:3], 16) / 255.0, int(c[3:5], 16) / 255.0,
+                int(c[5:7], 16) / 255.0)
+    return (0.0, 0.0, 0.0)
+
+
+def _f(x: float) -> str:
+    return f"{x:.2f}".rstrip("0").rstrip(".") or "0"
+
+
+class _Content:
+    """Content-stream builder (PDF user space, y flipped from SVG)."""
+
+    def __init__(self, height: float):
+        self.h = height
+        self.ops: List[str] = []
+
+    def _y(self, y: float) -> float:
+        return self.h - y
+
+    def rect(self, x, y, w, h, color, opacity=1.0, stroke=None,
+             stroke_width=0.0):
+        fill = _rgb(color) if color else None
+        self.ops.append("q")
+        if opacity < 1.0:
+            self.ops.append(f"/GS{int(opacity * 100)} gs")
+        if fill is not None:
+            r, g, b = fill
+            self.ops.append(f"{_f(r)} {_f(g)} {_f(b)} rg")
+        if stroke is not None:
+            sr, sg, sb = _rgb(stroke)
+            self.ops.append(f"{_f(sr)} {_f(sg)} {_f(sb)} RG")
+            self.ops.append(f"{_f(stroke_width)} w")
+        self.ops.append(f"{_f(x)} {_f(self._y(y) - h)} {_f(w)} {_f(h)} re")
+        if fill is not None and stroke is not None:
+            self.ops.append("B")
+        elif stroke is not None:
+            self.ops.append("S")
+        else:
+            self.ops.append("f")
+        self.ops.append("Q")
+
+    def line(self, x1, y1, x2, y2, color, width):
+        r, g, b = _rgb(color)
+        self.ops.append("q")
+        self.ops.append(f"{_f(r)} {_f(g)} {_f(b)} RG")
+        self.ops.append(f"{_f(width)} w")
+        self.ops.append(f"{_f(x1)} {_f(self._y(y1))} m "
+                        f"{_f(x2)} {_f(self._y(y2))} l S")
+        self.ops.append("Q")
+
+    def polygon(self, points, color="#000000"):
+        r, g, b = _rgb(color)
+        self.ops.append("q")
+        self.ops.append(f"{_f(r)} {_f(g)} {_f(b)} rg")
+        (x0, y0), *rest = points
+        self.ops.append(f"{_f(x0)} {_f(self._y(y0))} m")
+        for x, y in rest:
+            self.ops.append(f"{_f(x)} {_f(self._y(y))} l")
+        self.ops.append("h f Q")
+
+    def text(self, x, y, s, size, anchor="start"):
+        width = len(s) * size * _COURIER_W
+        if anchor == "middle":
+            x -= width / 2.0
+        esc = s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        self.ops.append("q BT")
+        self.ops.append(f"/F1 {_f(size)} Tf")
+        self.ops.append(f"{_f(x)} {_f(self._y(y))} Td")
+        self.ops.append(f"({esc}) Tj")
+        self.ops.append("ET Q")
+
+    def stream(self) -> bytes:
+        return "\n".join(self.ops).encode("latin-1")
+
+
+class _VectorGen:
+    """Mirror of pipeplot.Generator targeting the PDF content stream."""
+
+    def __init__(self, scale, pad):
+        self.scale = scale
+        self.pad = pad
+
+    def to_x(self, x):
+        return x * self.scale[0]
+
+    def to_y(self, y):
+        return y * self.scale[1]
+
+    def dimensions(self, plot: PipePlot):
+        width = max((p.xpos + sum(s.width for s in p.segs)
+                     for p in plot.pipes), default=0)
+        height = plot.legend.ypos + plot.legend.height
+        return (self.to_x(width) + 2 * self.pad,
+                self.to_y(height) + 2 * self.pad)
+
+    def render(self, plot: PipePlot) -> Tuple[bytes, float, float]:
+        w, h = self.dimensions(plot)
+        c = _Content(h)
+        c.rect(0, 0, w, h, "#ffffff")
+        font_size = float(str(plot.font.size).replace("px", ""))
+        for pipe in plot.pipes:
+            self._pipe(c, pipe, plot.font, font_size)
+            if pipe.outline:
+                height = self.to_y(pipe.height)
+                width = self.to_x(sum(s.width for s in pipe.segs))
+                x = self.to_x(pipe.xpos) + self.pad
+                y = self.to_y(pipe.ypos) + self.pad
+                c.rect(x, y, width, height, None, stroke="#000000",
+                       stroke_width=1.5)
+        self._legend(c, plot.legend, font_size)
+        return c.stream(), w, h
+
+    def _pipe(self, c: _Content, pipe: Pipe, font: FontConfig,
+              font_size: float):
+        x = self.to_x(pipe.xpos) + self.pad
+        y = self.to_y(pipe.ypos) + self.pad
+        add_highlight = pipe.height > 1
+        pipe_height = self.to_y(pipe.height)
+        stroke = 1.5 if pipe.height > 1 else 1.0
+
+        x_cur = x
+        for seg in pipe.segs:
+            w = self.to_x(seg.width)
+            if seg.shape == "rect":
+                c.rect(x_cur, y, w, pipe_height, seg.color, opacity=0.9)
+                if add_highlight:
+                    c.rect(x_cur, y + pipe_height * 0.18, w,
+                           pipe_height / 3.0, "#F4EDF2", opacity=0.25)
+            elif seg.shape == "hline":
+                ym = y + pipe_height / 2.0
+                c.line(x_cur, ym, x_cur + w, ym, seg.color, stroke)
+            elif seg.shape == "tick":
+                c.line(x_cur, y, x_cur, y + pipe_height, seg.color, 1.5)
+                if seg.label is not None:
+                    c.text(x_cur, y - 2.0, seg.label, font_size,
+                           anchor="middle")
+            elif seg.shape == "double_arrow":
+                ym = y + pipe_height / 2.0
+                c.line(x_cur, ym, x_cur + w, ym, seg.color, stroke)
+                c.polygon([(x_cur, ym), (x_cur + 5.0, ym + 5.0),
+                           (x_cur + 5.0, ym - 5.0)])
+                c.polygon([(x_cur + w, ym), (x_cur + w - 5.0, ym - 5.0),
+                           (x_cur + w - 5.0, ym + 5.0)])
+                if seg.label is not None:
+                    c.text((2 * x_cur + w) / 2.0, y, seg.label, 14.0,
+                           anchor="middle")
+            x_cur += w
+
+        x_cur = x
+        for seg in pipe.segs:
+            if seg.shape == "vline":
+                c.line(x_cur, y, x_cur, y + pipe_height, seg.color,
+                       min(2.0, self.to_x(1)))
+            x_cur += self.to_x(seg.width)
+
+        for band in pipe.bands:
+            c.rect(x + self.to_x(band.pos), y, self.to_x(1), pipe_height,
+                   band.color)
+
+    def _legend(self, c: _Content, legend, font_size: float):
+        base_x = self.to_x(legend.xpos) + self.pad
+        base_y = self.to_y(legend.ypos) + self.pad
+        height = self.to_y(legend.height)
+        x = base_x
+        for label, color in legend.labels:
+            c.rect(x, base_y, height, height, color)
+            x += height + 2.0
+            c.text(x, base_y + height - 1.0, label, font_size)
+            x += 5.0 * (2 * len(label) + 1)
+
+
+def write_pdf(plot: PipePlot, path: str) -> None:
+    longest = max((sum(s.width for s in p.segs) for p in plot.pipes),
+                  default=0)
+    x_scale = DEFAULT_X_SCALE / longest if longest else 1.0
+    gen = _VectorGen((x_scale, DEFAULT_Y_SCALE), DEFAULT_PADDING)
+    stream, w, h = gen.render(plot)
+    compressed = zlib.compress(stream, 6)
+
+    objects: List[bytes] = []
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objects.append(
+        (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_f(w)} {_f(h)}] "
+         f"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> "
+         f"/ExtGState << /GS90 6 0 R /GS25 7 0 R >> >> >>")
+        .encode("latin-1"))
+    objects.append(
+        (f"<< /Length {len(compressed)} /Filter /FlateDecode >>\n"
+         ).encode("latin-1") + b"stream\n" + compressed + b"\nendstream")
+    objects.append(b"<< /Type /Font /Subtype /Type1 "
+                   b"/BaseFont /Courier-Bold >>")
+    objects.append(b"<< /Type /ExtGState /ca 0.9 /CA 0.9 >>")
+    objects.append(b"<< /Type /ExtGState /ca 0.25 /CA 0.25 >>")
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, obj in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
