@@ -30,7 +30,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(REPO, ".jax_cache"))
 
 EXAMPLE = "/root/reference/example"
-N_LOCI = 64
+N_LOCI = 256
 
 
 def make_catalog(path: str, n: int) -> None:
