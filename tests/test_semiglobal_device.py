@@ -43,11 +43,12 @@ def test_device_matches_host_scores():
         h_score, h_matches, _, h_span = align_ends_free_text(
             pattern, text, 2, 5, 1)
         assert score == h_score, (text, score, h_score)
-        # matches/span may differ between co-optimal paths; on the
-        # embedded-pattern cases the optimum is effectively unique
-        if score == 0:
-            assert matches == h_matches == len(pattern)
-            assert span == h_span
+        # device forward-carry uses the same tie-break priorities as the
+        # host traceback (diag > D > I; open > extend; latest gap-open
+        # column), so matches and spans agree on ALL inputs, not just
+        # unique optima
+        assert matches == h_matches, (text, matches, h_matches)
+        assert span == h_span, (text, span, h_span)
 
 
 def test_device_exact_span():
@@ -71,6 +72,69 @@ def test_device_targeted_scoring():
     for text, (score, matches, span) in zip(texts, results):
         h_score, _, _, _ = align_ends_free_text(pattern, text, 1, 0, 1)
         assert score == h_score
+
+
+def test_mismatch_edged_spans():
+    """WFA span recovery runs first→last M-or-X column (ref:
+    src/wfaligner.rs:888-905): an alignment whose extremal aligned
+    columns are MISMATCHES must still report them inside the span.
+    The old device kernel carried match-only endpoints and shifted
+    these spans inward."""
+    # pattern edges mutated in the text: X......X alignment shape
+    pattern = b"ACGTACGTACGTACGTACGT"
+    core = b"T" + pattern[1:-1] + b"A"     # both edge columns mismatch
+    texts = [b"GGGGG" + core + b"CCCCC", core, b"G" + core]
+    results = flank_align_batch(pattern, texts, 2, 5, 1)
+    for text, (score, matches, span) in zip(texts, results):
+        h_score, h_matches, _, h_span = align_ends_free_text(
+            pattern, text, 2, 5, 1)
+        assert score == h_score
+        assert matches == h_matches == len(pattern) - 2
+        assert span == h_span, (text, span, h_span)
+    # the first text embeds core at offset 5: span must include the
+    # mismatch columns at both ends
+    assert results[0][2] == (5, 5 + len(core))
+
+
+def test_adversarial_randomized_spans():
+    """Randomized device-vs-host span equality, including heavy edge
+    mutation so extremal aligned columns are often mismatches."""
+    rng = random.Random(1234)
+    for trial in range(30):
+        plen = rng.randint(10, 60)
+        pattern = random_dna(rng, plen, plen)
+        mid = bytearray(mutate(rng, pattern, 0.2))
+        # force-mutate the edges half the time
+        if mid and rng.random() < 0.5:
+            mid[0] = rng.choice([c for c in b"ACGT" if c != mid[0]])
+            mid[-1] = rng.choice([c for c in b"ACGT" if c != mid[-1]])
+        text = (random_dna(rng, 0, 20) + bytes(mid)
+                + random_dna(rng, 0, 20))
+        if not text:
+            continue
+        (score, matches, span), = flank_align_batch(
+            pattern, [text], 2, 5, 1)
+        h_score, h_matches, _, h_span = align_ends_free_text(
+            pattern, text, 2, 5, 1)
+        assert score == h_score, (trial, pattern, text)
+        assert matches == h_matches, (trial, pattern, text)
+        assert span == h_span, (trial, pattern, text, span, h_span)
+
+
+def test_pallas_mismatch_edged_spans():
+    """Pallas twin of test_mismatch_edged_spans (interpret mode on CPU)."""
+    from trgt_tpu.kernels.semiglobal_pallas import flank_align_batch_pallas
+    pattern = b"ACGTACGTACGTACGTACGT"
+    core = b"T" + pattern[1:-1] + b"A"
+    texts = [b"GGGGG" + core + b"CCCCC", core]
+    results = flank_align_batch_pallas([pattern] * len(texts), texts,
+                                       2, 5, 1)
+    for text, (score, matches, span) in zip(texts, results):
+        h_score, h_matches, _, h_span = align_ends_free_text(
+            pattern, text, 2, 5, 1)
+        assert score == h_score
+        assert matches == h_matches
+        assert span == h_span, (text, span, h_span)
 
 
 def test_pallas_matches_jnp_kernel():

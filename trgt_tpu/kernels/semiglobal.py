@@ -122,11 +122,14 @@ def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
              H_prev[:, :-1] + subcost], axis=1)
         m_here = jnp.concatenate(
             [jnp.zeros((B, 1), dtype=bool), is_match], axis=1)
-        jm1 = j_idx - 1.0                                # match at col j-1…
         # after a diagonal step into column j, the consumed text char is j-1
         M_diag = M_Hs + m_here.astype(jnp.float32)
-        FS_diag = jnp.where(m_here & (FS_Hs < 0), j_idx - 1, FS_Hs)
-        LS_diag = jnp.where(m_here, j_idx - 1, LS_Hs)
+        # WFA span recovery runs first→last M-or-X column (ref:
+        # src/wfaligner.rs:888-905): FS/LS update on EVERY diagonal step,
+        # match or mismatch. Column 0's diag candidate is INF so its
+        # payload is never selected (and j_idx-1 there is the -1 sentinel).
+        FS_diag = jnp.where(FS_Hs < 0, j_idx - 1, FS_Hs)
+        LS_diag = jnp.zeros_like(LS_Hs) + (j_idx - 1.0)
 
         # H without I (priority: diag wins ties over D)
         take_d = D_row < diag

@@ -125,10 +125,13 @@ def _flank_kernel(mism_go_ge_ref, pattern_ref, text_ref, lens_ref,
         # ("Check failed: limits[i] <= dim(i)"); shift the mask as f32
         m_f = jnp.concatenate(
             [zero_col, is_match[:, :-1].astype(jnp.float32)], axis=1)
-        m_here = m_f > 0.0
         M_diag = M_Hs + m_f
-        FS_diag = jnp.where(m_here & (FS_Hs < 0), j_idx - 1.0, FS_Hs)
-        LS_diag = jnp.where(m_here, j_idx - 1.0, LS_Hs)
+        # WFA span recovery runs first→last M-or-X column (ref:
+        # src/wfaligner.rs:888-905): FS/LS update on EVERY diagonal step,
+        # match or mismatch. Column 0's diag candidate is INF so its
+        # payload is never selected (j_idx-1 there is the -1 sentinel).
+        FS_diag = jnp.where(FS_Hs < 0, j_idx - 1.0, FS_Hs)
+        LS_diag = j_idx - 1.0 + LS_Hs * 0.0
 
         # H without insertions: diagonal ≻ D on ties
         take_d = D_row < diag
