@@ -8,7 +8,6 @@ decision logic."""
 
 import logging
 import math
-import random
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
@@ -20,6 +19,7 @@ from ..hmm import (Annotation, build_hmm, calc_purity, collapse_labels,
                    replace_invalid_bases)
 from ..reads import HiFiRead, clip_to_region
 from ..utils import Genotyper, Ploidy, TrgtScoring
+from ..utils.rand_rs import StdRng
 
 log = logging.getLogger("trgt")
 
@@ -70,18 +70,19 @@ class LocusResult:
         return cls([], [], [], [])
 
 
-class MT19937Reservoir:
-    """Deterministic reservoir-sampling RNG.
-
-    The reference uses StdRng::seed_from_u64(42) with random_range
-    (tr.rs:312-338); we use a fixed-seed Mersenne Twister — deterministic
-    across runs, though not bit-identical to rand's ChaCha12 stream."""
+class StdRngReservoir:
+    """Reservoir-sampling RNG, bit-identical to the reference's
+    StdRng::seed_from_u64(42) + random_range (tr.rs:312-338): rand 0.9's
+    ChaCha12 StdRng with Canon's-method uniform sampling, reimplemented
+    in utils/rand_rs.py (validated against rand's own value-stability
+    vectors). A >3x-max-depth locus therefore selects the identical read
+    subset the reference selects."""
 
     def __init__(self, seed: int = 42):
-        self._rng = random.Random(seed)
+        self._rng = StdRng.seed_from_u64(seed)
 
     def range(self, n: int) -> int:
-        return self._rng.randrange(n)
+        return self._rng.random_range(n)
 
 
 def analyze_tr(locus, params: Params, bam, engine=None) -> LocusResult:
@@ -187,7 +188,7 @@ def extract_reads(locus, bam, params: Params) -> List[HiFiRead]:
         else:
             if rng is None:
                 log.warning("%s: Reservoir sampling reads", locus.id)
-                rng = MT19937Reservoir(42)
+                rng = StdRngReservoir(42)
             j = rng.range(n_reads)
             if j < reservoir_threshold:
                 reads[j] = HiFiRead.from_bam_rec(rec, locus.region)

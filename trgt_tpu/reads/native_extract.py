@@ -120,10 +120,10 @@ def extract_and_clip_native(locus, bam, params,
     keep = None
     reservoir_threshold = params.max_depth * 3
     if n_pass > reservoir_threshold:
-        # replay the reservoir index walk (workflow.MT19937Reservoir)
-        from ..engine.workflow import MT19937Reservoir
+        # replay the reservoir index walk (workflow.StdRngReservoir)
+        from ..engine.workflow import StdRngReservoir
         log.warning("%s: Reservoir sampling reads", locus.id)
-        rng = MT19937Reservoir(42)
+        rng = StdRngReservoir(42)
         kept_idx = list(range(reservoir_threshold))
         for i in range(reservoir_threshold, n_pass):
             j = rng.range(i)
