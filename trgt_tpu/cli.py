@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--flank-len", dest="flank_len", type=int, default=None)
     g.add_argument("--output-flank-len", dest="output_flank_len", type=int,
                    default=50)
+    # accepted-but-unused, matching the reference exactly: cli.rs:319
+    # parses --fixed-flanks and nothing in the reference reads it either
     g.add_argument("--fixed-flanks", action="store_true")
     g.add_argument("--min-read-quality", dest="min_hifi_read_qual",
                    type=float, default=None)

@@ -199,14 +199,27 @@ def run_genotype(args) -> None:
 
         writer_thread = threading.Thread(target=writer_main, daemon=True)
         writer_thread.start()
+
+        def put_checked(item) -> bool:
+            # A dead writer stops draining the bounded queue; a plain
+            # put() would then block forever. Re-check writer_error
+            # between bounded attempts so its exception always surfaces.
+            while True:
+                if writer_error:
+                    return False
+                try:
+                    write_queue.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+
         try:
             for locus, results in pipeline.process(loci, bam):
-                if writer_error:
+                if not put_checked((locus, results)):
                     break
-                write_queue.put((locus, results))
                 n_ok += 1
         finally:
-            write_queue.put(None)
+            put_checked(None)
             writer_thread.join()
         if writer_error:
             raise writer_error[0]

@@ -14,8 +14,8 @@ from .gt import Gt, TrSize
 from .linkage import Step, cluster_size, condensed_index, ward_linkage
 from ..kernels.align_host import edit_distance
 
-# We skip ED in cases we already know it will be too costly
-# (ref: genotype_cluster.rs:231-247)
+# Pair-size ceiling above which the edit-distance DP is replaced by the
+# length-difference lower bound (ref: genotype_cluster.rs:231-247)
 MAX_OPS = 10000
 
 

@@ -378,7 +378,10 @@ class Encoding:
                    length: Optional[int] = None) -> bytes:
         if self.codec == 5:
             stream = ext[self.content_id]
-            end = stream.data.index(bytes([self.stop_byte]), stream.pos)
+            # htslib treats end-of-block as an implicit stop byte
+            end = stream.data.find(bytes([self.stop_byte]), stream.pos)
+            if end < 0:
+                end = len(stream.data)
             out = stream.data[stream.pos:end]
             stream.pos = end + 1
             return out
@@ -479,24 +482,35 @@ def _read_container_header(fh) -> Optional[Container]:
     if len(head) < 4:
         return None
     length = struct.unpack("<i", head)[0]
-    # read enough bytes for the variable-size fields
-    buf = fh.read(64 * 1024 if length < 0 else min(1 << 20, 8192))
-    bs = ByteStream(buf)
-    c = Container()
-    c.length = length
-    c.ref_id = bs.itf8()
-    c.start = bs.itf8()
-    c.span = bs.itf8()
-    c.n_records = bs.itf8()
-    c.counter = bs.ltf8()
-    c.bases = bs.ltf8()
-    c.n_blocks = bs.itf8()
-    n_land = bs.itf8()
-    c.landmarks = [bs.itf8() for _ in range(n_land)]
-    bs.read(4)  # CRC
-    # rewind to just after the header
-    fh.seek(bs.pos - len(buf), 1)
-    return c
+    # the header's variable-size fields (notably the landmark list, one
+    # entry per slice) have no length prefix — retry with a growing
+    # buffer until the parse fits
+    size = 64 * 1024 if length < 0 else 8192
+    while True:
+        buf = fh.read(size)
+        bs = ByteStream(buf)
+        try:
+            c = Container()
+            c.length = length
+            c.ref_id = bs.itf8()
+            c.start = bs.itf8()
+            c.span = bs.itf8()
+            c.n_records = bs.itf8()
+            c.counter = bs.ltf8()
+            c.bases = bs.ltf8()
+            c.n_blocks = bs.itf8()
+            n_land = bs.itf8()
+            c.landmarks = [bs.itf8() for _ in range(n_land)]
+            bs.read(4)  # CRC
+        except (IndexError, struct.error):
+            if len(buf) < size:        # EOF: genuinely truncated
+                raise
+            fh.seek(-len(buf), 1)
+            size *= 8
+            continue
+        # rewind to just after the header
+        fh.seek(bs.pos - len(buf), 1)
+        return c
 
 
 class SliceHeader:
@@ -558,6 +572,10 @@ class CramReader:
         self._fasta = None
         self._index = None
         self._ref_cache: Dict[int, bytes] = {}
+        # decoded-record cache keyed on container file offset: per-locus
+        # fetches from neighbouring loci re-read the same containers, and
+        # a pure-Python rANS + feature decode is expensive to repeat
+        self._container_cache: Dict[int, List[BamRecord]] = {}
 
     def close(self):
         self._fh.close()
@@ -581,8 +599,8 @@ class CramReader:
             self._fasta = FastaReader(self._reference_path)
         name, length = self.header.references[ref_id]
         seq = self._fasta.fetch(name, 0, length).upper().encode("ascii")
-        if len(self._ref_cache) > 4:
-            self._ref_cache.clear()
+        while len(self._ref_cache) > 4:
+            self._ref_cache.pop(next(iter(self._ref_cache)))
         self._ref_cache[ref_id] = seq
         return seq
 
@@ -850,7 +868,17 @@ class CramReader:
         for c, payload in containers:
             if c.n_records == 0:
                 continue
-            for rec in self._decode_container(c, payload):
+            key = getattr(c, "offset", None)
+            if key is not None and key in self._container_cache:
+                records = self._container_cache[key]
+            else:
+                records = self._decode_container(c, payload)
+                if key is not None:
+                    while len(self._container_cache) >= 4:
+                        self._container_cache.pop(
+                            next(iter(self._container_cache)))
+                    self._container_cache[key] = records
+            for rec in records:
                 if rec.ref_id != tid:
                     continue
                 if rec.is_unmapped:

@@ -54,21 +54,28 @@ class _Content:
         if fill is not None:
             r, g, b = fill
             self.ops.append(f"{_f(r)} {_f(g)} {_f(b)} rg")
-        if stroke is not None:
-            sr, sg, sb = _rgb(stroke)
+        stroke_rgb = _rgb(stroke) if stroke is not None else None
+        if stroke_rgb is not None:
+            sr, sg, sb = stroke_rgb
             self.ops.append(f"{_f(sr)} {_f(sg)} {_f(sb)} RG")
             self.ops.append(f"{_f(stroke_width)} w")
+        if fill is None and stroke_rgb is None:  # fully transparent rect
+            self.ops.append("Q")
+            return
         self.ops.append(f"{_f(x)} {_f(self._y(y) - h)} {_f(w)} {_f(h)} re")
-        if fill is not None and stroke is not None:
+        if fill is not None and stroke_rgb is not None:
             self.ops.append("B")
-        elif stroke is not None:
+        elif stroke_rgb is not None:
             self.ops.append("S")
         else:
             self.ops.append("f")
         self.ops.append("Q")
 
     def line(self, x1, y1, x2, y2, color, width):
-        r, g, b = _rgb(color)
+        rgb = _rgb(color)
+        if rgb is None:                          # transparent stroke
+            return
+        r, g, b = rgb
         self.ops.append("q")
         self.ops.append(f"{_f(r)} {_f(g)} {_f(b)} RG")
         self.ops.append(f"{_f(width)} w")
@@ -77,7 +84,10 @@ class _Content:
         self.ops.append("Q")
 
     def polygon(self, points, color="#000000"):
-        r, g, b = _rgb(color)
+        rgb = _rgb(color)
+        if rgb is None:                          # transparent fill
+            return
+        r, g, b = rgb
         self.ops.append("q")
         self.ops.append(f"{_f(r)} {_f(g)} {_f(b)} rg")
         (x0, y0), *rest = points
