@@ -142,6 +142,20 @@ def run_genotype(args) -> None:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    shard_index = getattr(args, "shard_index", None)
+    shard_count = getattr(args, "shard_count", None)
+    if shard_count:
+        if shard_index is None or not 0 <= shard_index < shard_count:
+            raise ValueError("--shard-index must be in [0, --shard-count)")
+    if use_device:
+        from .. import mesh
+        if shard_count:
+            # multi-process mesh scaffolding (no-op without a
+            # coordinator address; catalog shards then run standalone)
+            mesh.initialize_distributed(shard_index, shard_count)
+        # local data-parallel mesh over all visible chips
+        mesh.auto_enable()
+
     genome = FastaReader(args.genome_path)
     n_ok = 0
     n_err = 0
@@ -165,11 +179,7 @@ def run_genotype(args) -> None:
     # Multi-host catalog sharding (SURVEY.md §5.8): each host owns a
     # strided shard of the locus stream; per-shard outputs are combined
     # by concatenation (same sample) or `merge` (multi-sample).
-    shard_index = getattr(args, "shard_index", None)
-    shard_count = getattr(args, "shard_count", None)
     if shard_count:
-        if shard_index is None or not 0 <= shard_index < shard_count:
-            raise ValueError("--shard-index must be in [0, --shard-count)")
         loci = (locus for i, locus in enumerate(loci)
                 if i % shard_count == shard_index)
     use_writer_thread = os.environ.get("TRGT_WRITER_THREAD", "1") != "0"

@@ -1,94 +1,73 @@
-"""Multi-chip sharding of the genotyping compute (SURVEY.md §5.8).
+"""Multi-chip dry run: the PRODUCTION genotype pipeline over a device
+mesh (SURVEY.md §5.8).
 
-The reference is a single-process rayon pool; the TPU-native scaling model
-is pure data parallelism over the locus/read batch axis: a 1-D device
-mesh ('data'), batch-sharded inputs, replicated HMM/scoring tables, no
-cross-device communication in the hot path (loci are independent), with
-collectives reserved for run-level statistics.
+The reference scales with a single-process rayon pool
+(ref: src/commands/genotype.rs:140-199); the TPU-native model is pure
+data parallelism over the batch axis of every kernel dispatch, installed
+process-wide by trgt_tpu/mesh.py and used automatically by run_genotype.
 
-`genotype_batch_step` is the jittable "full step": batched ends-free
-flank alignment + batched Viterbi + the diploid penalty reduction, all
-expressed on-device so XLA partitions them across the mesh.
+`dryrun(n)` builds a synthetic multi-locus dataset (FASTA + BED + BAM,
+utils/synth.py), runs the REAL `genotype` command twice — once with the
+batched device pipeline over an n-device mesh, once on the host (numpy)
+path — and asserts the VCF bodies are byte-identical. This certifies
+that the production code path (extraction → batched span DP → genotyper
+→ batched Viterbi → VCF writer) compiles, partitions, and executes
+correctly across the mesh, not merely that a synthetic jit step does.
 """
 
-from typing import Tuple
+import os
+import tempfile
 
-import numpy as np
-
-import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from ..hmm.model import build_hmm
-from ..kernels.semiglobal import _semiglobal_scan
-from ..kernels.viterbi import encode_queries, _stack_tables, _viterbi_scan
+from .. import mesh
 
 
-def diploid_penalty(sizes: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized diploid penalty matrix (ref: diploid.rs:51-84) for a
-    batch of loci: sizes/counts (B, N) → penalties (B, N, N)."""
-    diff = jnp.abs(sizes[:, :, None] - sizes[:, None, :])
-    term = jnp.where(diff == 0, 0.0, 10.0 + 2.0 * diff)
-    short_t = term[:, :, None, :]
-    long_t = term[:, None, :, :]
-    lo = jnp.minimum(short_t, long_t)
-    hi = jnp.maximum(short_t, long_t)
-    expansion = jnp.abs(sizes[:, :, None] - sizes[:, None, :]) > 100
-    max_frac = jnp.where(expansion, 0.05, 0.25)[:, :, :, None]
-    per_read = lo + max_frac * hi
-    return jnp.sum(per_read * counts[:, None, None, :], axis=3)
+def _vcf_body(path: str) -> bytes:
+    from ..io.bgzf import BgzfReader
+    data = BgzfReader(path).read_all()
+    return b"\n".join(line for line in data.splitlines()
+                      if not line.startswith(b"##"))
 
 
-def genotype_batch_step(flank_pattern, flank_text, vit_tokens, tables,
-                        sizes, counts):
-    """One sharded genotyping step over a locus/read batch."""
-    H, M, FS, LS = _semiglobal_scan(flank_pattern, flank_text, 2, 5, 1)
-    preds, valids = _viterbi_scan(vit_tokens, tables,
-                                  tables["level_masks"].shape[1])
-    pen = diploid_penalty(sizes, counts)
-    return H, M, FS, LS, preds, valids, pen
-
-
-def make_sharded_step(n_devices: int):
-    """Builds (jitted step, example sharded args) over an n-device mesh."""
-    devices = jax.devices()[:n_devices]
-    mesh = Mesh(np.array(devices), ("data",))
-    batch_sharded = NamedSharding(mesh, P("data"))
-    replicated = NamedSharding(mesh, P())
-
-    B = n_devices * 8
-    P_len, T_len = 64, 128
-    rng = np.random.default_rng(0)
-    flank_pattern = jnp.asarray(
-        rng.integers(65, 85, (B, P_len)), dtype=jnp.uint8)
-    flank_text = jnp.asarray(
-        rng.integers(65, 85, (B, T_len)), dtype=jnp.uint8)
-
-    hmm = build_hmm([b"CAG"])
-    hmm2 = build_hmm([b"CAG", b"A"])  # heterogeneous-topology batch
-    tables_np, _ = _stack_tables([hmm, hmm2] * (B // 2))
-    tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
-    toks, _ = encode_queries(["CAG" * 8] * B)
-    vit_tokens = jnp.asarray(toks[:B])
-
-    N = 16
-    sizes = jnp.asarray(rng.integers(10, 100, (B, N)), dtype=jnp.float32)
-    counts = jnp.asarray(rng.integers(1, 5, (B, N)), dtype=jnp.float32)
-
-    args = (
-        jax.device_put(flank_pattern, batch_sharded),
-        jax.device_put(flank_text, batch_sharded),
-        jax.device_put(vit_tokens, batch_sharded),
-        jax.tree.map(lambda x: jax.device_put(x, batch_sharded), tables),
-        jax.device_put(sizes, batch_sharded),
-        jax.device_put(counts, batch_sharded),
-    )
-
-    step = jax.jit(genotype_batch_step)
-    return step, args, mesh
+def _run(fasta, bed, bam, prefix, device):
+    from ..cli import main as cli_main
+    rc = cli_main(["genotype", "--genome", fasta, "--repeats", bed,
+                   "--reads", bam, "--output-prefix", prefix,
+                   "--device", device])
+    if rc != 0:
+        raise RuntimeError(f"genotype --device {device} failed ({rc})")
+    return _vcf_body(prefix + ".vcf.gz")
 
 
 def dryrun(n_devices: int) -> None:
-    step, args, mesh = make_sharded_step(n_devices)
-    out = step(*args)
-    jax.block_until_ready(out)
+    """Run one production genotyping pass over an n-device mesh and
+    verify it reproduces the host-path output byte-for-byte."""
+    from ..utils.synth import SynthLocus, make_dataset
+
+    loci = [
+        SynthLocus("HOM", "CAG", 15, (15, 15)),
+        SynthLocus("HET", "CAG", 10, (10, 20)),
+        SynthLocus("EXP", "GGC", 8, (8, 40)),
+        SynthLocus("REF", "AT", 12, (12, 12)),
+        SynthLocus("A10", "A", 10, (10, 14)),
+        SynthLocus("MIX", "CAG", 12, (12, 16), motifs="CAG,CAA"),
+    ]
+    prev = os.environ.get("TRGT_TPU_MESH")
+    os.environ["TRGT_TPU_MESH"] = str(n_devices)
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            fasta, bed, bam = make_dataset(td, loci, depth=10)
+            meshed = _run(fasta, bed, bam, f"{td}/mesh", "auto")
+            assert mesh.current_mesh() is not None and \
+                mesh.current_mesh().devices.size == n_devices, \
+                "mesh was not active during the device run"
+            mesh.disable_mesh()
+            os.environ["TRGT_TPU_MESH"] = "0"
+            host = _run(fasta, bed, bam, f"{td}/host", "host")
+            assert meshed == host, (
+                "mesh-sharded device pipeline diverged from host path")
+    finally:
+        mesh.disable_mesh()
+        if prev is None:
+            os.environ.pop("TRGT_TPU_MESH", None)
+        else:
+            os.environ["TRGT_TPU_MESH"] = prev

@@ -185,17 +185,18 @@ def e2e_align_batch(pattern_texts: Sequence[Tuple[bytes, bytes]],
             todo.append(idx)
     if not todo:
         return results
+    from .. import mesh
     P = _bucket(max(len(pattern_texts[i][0]) for i in todo))
     T = _bucket(max(len(pattern_texts[i][1]) for i in todo))
-    B = _bucket(len(todo), minimum=8)
+    B = mesh.batch_bucket(len(todo))
     p_toks = np.zeros((B, P), dtype=np.uint8)
     t_toks = np.zeros((B, T), dtype=np.uint8)
     for b, idx in enumerate(todo):
         p, t = pattern_texts[idx]
         p_toks[b, :len(p)] = np.frombuffer(p, dtype=np.uint8)
         t_toks[b, :len(t)] = np.frombuffer(t, dtype=np.uint8)
-    H_fin, bits = _e2e_scan(jnp.asarray(p_toks), jnp.asarray(t_toks),
-                            mism, gapo, gape)
+    H_fin, bits = _e2e_scan(mesh.put_batch(p_toks),
+                            mesh.put_batch(t_toks), mism, gapo, gape)
     del H_fin
     bits = np.asarray(bits)
     for b, idx in enumerate(todo):

@@ -108,15 +108,17 @@ def edit_distances_batch(pairs: Sequence[tuple]) -> List[int]:
         if len(a) > len(b):
             a, b = b, a
         norm.append((a, b))
+    from .. import mesh
     P = _bucket(max(len(a) for a, _ in norm))
     T = _bucket(max(len(b) for _, b in norm))
-    B = _bucket(len(norm), minimum=8)
+    B = mesh.batch_bucket(len(norm))
     a_toks = np.zeros((B, P), dtype=np.uint8)
     b_toks = np.zeros((B, T), dtype=np.uint8)
     for i, (a, b) in enumerate(norm):
         a_toks[i, :len(a)] = np.frombuffer(a, dtype=np.uint8)
         b_toks[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
-    H_fin = np.asarray(_edit_scan(jnp.asarray(a_toks), jnp.asarray(b_toks)))
+    H_fin = np.asarray(_edit_scan(mesh.put_batch(a_toks),
+                                  mesh.put_batch(b_toks)))
     out = []
     for i, (a, b) in enumerate(norm):
         out.append(int(H_fin[i, len(b)]))

@@ -133,7 +133,9 @@ def edit_distances_leaf_pallas(pairs, interpret=None):
                    128)
     W = _round_up(_bucket(max(len(b) for _, b in pairs) + 1, minimum=128),
                   128)
-    B = _bucket(len(pairs), minimum=8)
+    from .. import mesh as _mesh
+    B = _mesh.batch_bucket(len(pairs),
+                           minimum=8 * _mesh.batch_multiple())
     a_toks = np.zeros((B, Pp), dtype=np.uint8)
     b_toks = np.zeros((B, W), dtype=np.uint8)
     lens = np.zeros(B, dtype=np.int32)
@@ -148,9 +150,23 @@ def edit_distances_leaf_pallas(pairs, interpret=None):
         a_toks, b_toks, packed = a_packed, b_packed, True
     else:
         packed = False
-    eds = np.asarray(_edit_scan_pallas(
-        jnp.asarray(a_toks), jnp.asarray(b_toks), jnp.asarray(lens),
-        interpret=interpret, packed=packed))
+    m = _mesh.current_mesh()
+    if m is None:
+        eds = np.asarray(_edit_scan_pallas(
+            jnp.asarray(a_toks), jnp.asarray(b_toks), jnp.asarray(lens),
+            interpret=interpret, packed=packed))
+    else:
+        # multi-chip: shard_map the single-chip kernel over the batch
+        # shard (pure data parallelism — see trgt_tpu/mesh.py)
+        from jax.sharding import PartitionSpec as SP
+        fn = jax.shard_map(
+            lambda at, bt, ln: _edit_scan_pallas(
+                at, bt, ln, interpret=interpret, packed=packed),
+            mesh=m, in_specs=(SP("data"), SP("data"), SP("data")),
+            out_specs=SP("data"), check_vma=False)
+        eds = np.asarray(fn(_mesh.put_batch(a_toks),
+                            _mesh.put_batch(b_toks),
+                            _mesh.put_batch(lens)))
     return [int(eds[i]) for i in range(len(pairs))]
 
 

@@ -280,8 +280,9 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
         return out
     plen = len(patterns[0])
     assert all(len(p) == plen for p in patterns)
+    from .. import mesh
     T = _bucket(max(len(s) for s in seqs))
-    B = _bucket(len(seqs), minimum=8)
+    B = mesh.batch_bucket(len(seqs))
     text_toks = np.zeros((B, T), dtype=np.uint8)
     text_toks[:len(seqs)] = _tokenize(seqs, T, pad=0)
     pattern_toks = np.zeros((B, plen), dtype=np.uint8)
@@ -291,8 +292,8 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
     lens[:len(seqs)] = [len(s) for s in seqs]
     use_ladder = jax.default_backend() == "tpu"
     score_a, m_a, fs_a, ls_a = _semiglobal_scan_finalized(
-        jnp.asarray(pattern_toks), jnp.asarray(text_toks),
-        jnp.asarray(lens), mism, gapo, gape, use_ladder=use_ladder)
+        mesh.put_batch(pattern_toks), mesh.put_batch(text_toks),
+        mesh.put_batch(lens), mism, gapo, gape, use_ladder=use_ladder)
     score_a = np.asarray(score_a)
     m_a = np.asarray(m_a)
     fs_a = np.asarray(fs_a)

@@ -286,12 +286,14 @@ def flank_align_leaf_pallas(patterns, seqs, mism: int, gapo: int,
     chunking). Returns list of (score, n_matches, (start, end))."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    from .. import mesh as _mesh
     plen = max(len(p) for p in patterns)
     # bucket then lane-align so the distinct compile-shape count stays
     # ~2·log2(range) (first compile over the tunnel costs ~2s/shape)
     Pp = _round_up(_bucket(plen, minimum=128), 128)
     W = _round_up(_bucket(max(len(s) for s in seqs) + 1, minimum=128), 128)
-    B = _bucket(len(seqs), minimum=8)
+    B = _mesh.batch_bucket(len(seqs),
+                           minimum=8 * _mesh.batch_multiple())
     pattern_toks = np.zeros((B, Pp), dtype=np.uint8)
     text_toks = np.zeros((B, W), dtype=np.uint8)
     lens = np.zeros(B, dtype=np.int32)
@@ -307,9 +309,24 @@ def flank_align_leaf_pallas(patterns, seqs, mism: int, gapo: int,
         pattern_toks, text_toks, packed = pat_packed, txt_packed, True
     else:
         packed = False
-    out = np.asarray(_semiglobal_pallas(
-        jnp.asarray(pattern_toks), jnp.asarray(text_toks), penalties,
-        jnp.asarray(lens), interpret=interpret, packed=packed))
+    m = _mesh.current_mesh()
+    if m is None:
+        out = np.asarray(_semiglobal_pallas(
+            jnp.asarray(pattern_toks), jnp.asarray(text_toks), penalties,
+            jnp.asarray(lens), interpret=interpret, packed=packed))
+    else:
+        # multi-chip: each device runs the SAME single-chip kernel on its
+        # batch shard (pure data parallelism, no collectives) — the
+        # pallas_call is wrapped in shard_map so Mosaic sees local shapes
+        from jax.sharding import PartitionSpec as SP
+        fn = jax.shard_map(
+            lambda pt, tt, pen, ln: _semiglobal_pallas(
+                pt, tt, pen, ln, interpret=interpret, packed=packed),
+            mesh=m, in_specs=(SP("data"), SP("data"), SP(), SP("data")),
+            out_specs=SP(None, "data"), check_vma=False)
+        out = np.asarray(fn(
+            _mesh.put_batch(pattern_toks), _mesh.put_batch(text_toks),
+            _mesh.put_replicated(penalties), _mesh.put_batch(lens)))
     score_a, m_a, fs_a, ls_a = out[0], out[1], out[2], out[3]
     results = []
     for b in range(len(seqs)):

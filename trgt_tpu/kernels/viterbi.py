@@ -177,9 +177,10 @@ for _i, _c in enumerate(b"#ATCG"):
 def encode_queries(queries: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
     """'#'+q+'#' encoded 0..4, padded with 0s into bucketed shapes.
     Returns (tokens, lengths)."""
+    from .. import mesh
     lens = np.array([len(q) + 2 for q in queries], dtype=np.int32)
     L = _bucket(int(lens.max()))
-    B = _bucket(len(queries), minimum=8)
+    B = mesh.batch_bucket(len(queries))
     toks = np.zeros((B, L), dtype=np.int32)
     for b, q in enumerate(queries):
         arr = np.frombuffer(("#" + q + "#").encode(), dtype=np.uint8)
@@ -208,8 +209,10 @@ def viterbi_batch_multi(hmms: Sequence[Hmm],
     batch_hmms = batch_hmms + [batch_hmms[0]] * (B - len(batch_hmms))
     tables_np, _ = _stack_tables(batch_hmms)
     num_levels = tables_np["level_masks"].shape[1]
-    tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
-    pv = np.asarray(_viterbi_scan(jnp.asarray(toks), tables, num_levels))
+    from .. import mesh
+    tables = {k: mesh.put_batch(v) for k, v in tables_np.items()}
+    pv = np.asarray(_viterbi_scan(mesh.put_batch(toks), tables,
+                                  num_levels))
     preds, valids = pv[0], pv[1]
     for b, (i, h, q) in enumerate(nonempty):
         out[i] = _traceback(h, preds[:, b, :], valids[:, b, :],

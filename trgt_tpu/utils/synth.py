@@ -1,0 +1,133 @@
+"""Synthetic dataset generator: builds a reference FASTA (+.fai), repeat
+catalog BED, and a sorted+indexed BAM of reads over chosen genotypes.
+Used by the e2e tests AND the multi-chip production dry run
+(engine/sharding.py), so the dry run exercises the same input stack the
+real `genotype` command uses."""
+
+import random
+from typing import List, Optional, Tuple
+
+from ..io.bam_write import BamWriter
+
+
+class SynthLocus:
+    def __init__(self, lid: str, motif: str, ref_copies: int,
+                 allele_copies: Tuple[int, int], motifs: Optional[str] = None):
+        self.id = lid
+        self.motif = motif
+        self.ref_copies = ref_copies
+        self.allele_copies = allele_copies
+        self.motifs = motifs or motif
+
+
+def mm_ml_for(seq: str, prob: int):
+    """MM/ML aux tags marking every CpG cytosine as modified with the
+    given probability (forward-strand read)."""
+    c_positions = [i for i, ch in enumerate(seq) if ch == "C"]
+    cpg_cs = [i for i in c_positions
+              if i + 1 < len(seq) and seq[i + 1] == "G"]
+    deltas = []
+    prev_rank = -1
+    rank_of = {pos: r for r, pos in enumerate(c_positions)}
+    for pos in cpg_cs:
+        r = rank_of[pos]
+        deltas.append(r - prev_rank - 1)
+        prev_rank = r
+    if not deltas:
+        return None
+    mm = "C+m," + ",".join(str(d) for d in deltas) + ";"
+    ml = [prob] * len(deltas)
+    return [("MM", "Z", mm), ("ML", "B", ("C", ml))]
+
+
+def make_dataset(tmpdir: str, loci: List[SynthLocus], depth: int = 20,
+                 flank: int = 400, read_flank: int = 300,
+                 seed: int = 0, chrom: str = "chrS", meth_prob=None,
+                 error_rate: float = 0.0):
+    rng = random.Random(seed)
+
+    ref_parts = []
+    catalog = []
+    pos = 0
+    locus_layout = []
+    for locus in loci:
+        left = "".join(rng.choice("ACGT") for _ in range(flank))
+        tr_ref = locus.motif * locus.ref_copies
+        pos += len(left)
+        start = pos
+        pos += len(tr_ref)
+        end = pos
+        locus_layout.append((locus, start, end))
+        catalog.append(f"{chrom}\t{start}\t{end}\t"
+                       f"ID={locus.id};MOTIFS={locus.motifs};STRUC=<TR>")
+        ref_parts.append(left + tr_ref)
+    tail = "".join(rng.choice("ACGT") for _ in range(flank))
+    ref_parts.append(tail)
+    ref_seq = "".join(ref_parts)
+
+    fasta_path = f"{tmpdir}/ref.fasta"
+    with open(fasta_path, "w") as fh:
+        fh.write(f">{chrom}\n")
+        for i in range(0, len(ref_seq), 60):
+            fh.write(ref_seq[i:i + 60] + "\n")
+    with open(fasta_path + ".fai", "w") as fh:
+        fh.write(f"{chrom}\t{len(ref_seq)}\t{len(chrom) + 2}\t60\t61\n")
+
+    bed_path = f"{tmpdir}/repeats.bed"
+    with open(bed_path, "w") as fh:
+        fh.write("\n".join(catalog) + "\n")
+
+    # reads: per locus, half the depth per allele, perfect sequences
+    records = []
+    for locus, start, end in locus_layout:
+        lf = ref_seq[start - read_flank:start]
+        rf = ref_seq[end:end + read_flank]
+        for ri in range(depth):
+            allele = locus.allele_copies[ri % 2]
+            tr = locus.motif * allele
+            seq = lf + tr + rf
+            ref_copies = locus.ref_copies
+            # CIGAR vs the reference: flank matches, TR indel
+            motif_len = len(locus.motif)
+            delta = (allele - ref_copies) * motif_len
+            cigar = [(read_flank, "=")]
+            if delta == 0:
+                cigar.append((len(tr), "="))
+            elif delta > 0:
+                common = ref_copies * motif_len
+                cigar.append((common, "="))
+                cigar.append((delta, "I"))
+            else:
+                common = allele * motif_len
+                cigar.append((common, "="))
+                cigar.append((-delta, "D"))
+            cigar.append((read_flank, "="))
+            pos0 = start - read_flank
+            if error_rate > 0.0:
+                mutated = []
+                for ch in seq:
+                    if rng.random() < error_rate:
+                        mutated.append(rng.choice("ACGT".replace(ch, "")))
+                    else:
+                        mutated.append(ch)
+                seq = "".join(mutated)
+                cigar = [(len(seq), "M")]
+            records.append((pos0, f"{locus.id}_read{ri}", seq, cigar))
+
+    records.sort(key=lambda r: r[0])
+    bam_path = f"{tmpdir}/reads.bam"
+    header_text = (f"@HD\tVN:1.5\tSO:coordinate\n"
+                   f"@SQ\tSN:{chrom}\tLN:{len(ref_seq)}\n"
+                   f"@RG\tID:rg1\tSM:synth\n")
+    writer = BamWriter(bam_path, header_text, [(chrom, len(ref_seq))],
+                       build_index=True)
+    for pos0, name, seq, cigar in records:
+        aux = [("rq", "f", 0.999)]
+        if meth_prob is not None:
+            tags = mm_ml_for(seq, meth_prob)
+            if tags:
+                aux.extend(tags)
+        writer.write_record(name, 0, 0, pos0, 60, cigar, seq,
+                            bytes([40] * len(seq)), aux)
+    writer.close()
+    return fasta_path, bed_path, bam_path
