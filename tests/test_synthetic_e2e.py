@@ -284,3 +284,17 @@ def test_stress_errors_many_loci(tmp_path):
             n_correct += 1
     # with 1% errors and depth 16 nearly all loci should genotype cleanly
     assert n_correct >= 110, n_correct
+
+
+def test_targeted_preset_15kb_expansion(tmp_path):
+    """A repeat-expansion allele at pathogenic scale (VERDICT r1 item 4):
+    consensus repair and annotation must run in bounded memory via the
+    Myers-Miller linear aligner instead of (P x T) tracebacks."""
+    loci = [SynthLocus("BIGEXP", "CAG", 20, (20, 5000))]
+    fasta, bed, bam = make_dataset(str(tmp_path), loci, depth=6)
+    records = run_genotype(tmp_path, fasta, bed, bam,
+                           extra=("--preset", "targeted"))
+    cols, s = records["BIGEXP"]
+    assert s["GT"] == "0/1"
+    assert s["AL"] == "60,15000"
+    assert s["MC"] == "20,5000"

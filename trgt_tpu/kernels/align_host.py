@@ -72,19 +72,35 @@ def _compress_ops(ops: List[str]) -> CigarOps:
     return out
 
 
+# Above this many DP cells the quadratic traceback matrices (~22 B/cell)
+# are replaced by the Myers-Miller linear-memory aligner — the analog of
+# WFA's MemoryUltraLow mode (ref: src/wfaligner.rs:173-181) used for
+# repeat-expansion-scale alleles.
+LINEAR_FALLBACK_CELLS = 4_000_000
+
+
 def align_end_to_end(pattern: bytes, text: bytes, mism: int, gapo: int,
-                     gape: int) -> Tuple[int, CigarOps]:
+                     gape: int, tb: Optional[int] = None,
+                     te: Optional[int] = None) -> Tuple[int, CigarOps]:
     """Global affine alignment; returns (cost, cigar with '='/'X'/'I'/'D').
 
     'I' consumes text, 'D' consumes pattern (WFA2 convention, matching
     repair_consensus at src/trgt/genotype/consensus.rs:5-41 where pattern
     is the backbone/reference).
+
+    tb/te override the gap-open cost of a 'D' run anchored at the alignment
+    start/end boundary (Myers-Miller recursion leaves; default gapo).
     """
     P, T = len(pattern), len(text)
+    if tb is None and te is None and P * T > LINEAR_FALLBACK_CELLS:
+        from .align_linear import align_end_to_end_linear
+        return align_end_to_end_linear(pattern, text, mism, gapo, gape)
+    tb = gapo if tb is None else tb
+    te = gapo if te is None else te
     if P == 0:
         return (gapo + gape * T if T else 0), ([(T, "I")] if T else [])
     if T == 0:
-        return gapo + gape * P, [(P, "D")]
+        return min(tb, te) + gape * P, [(P, "D")]
     sub = _sub_matrix(pattern, text, mism)
 
     H = np.full((P + 1, T + 1), INF, dtype=np.int32)
@@ -97,7 +113,7 @@ def align_end_to_end(pattern: bytes, text: bytes, mism: int, gapo: int,
 
     H[0, 0] = 0
     for i in range(1, P + 1):
-        E[i, 0] = gapo + gape * i
+        E[i, 0] = tb + gape * i
         H[i, 0] = E[i, 0]
         HT[i, 0] = 1
         ET[i, 0] = 1 if i > 1 else 0
@@ -112,6 +128,9 @@ def align_end_to_end(pattern: bytes, text: bytes, mism: int, gapo: int,
         e_ext = E[i - 1, :] + gape
         E[i, :] = np.minimum(e_open, e_ext)
         ET[i, :] = (e_ext < e_open).astype(np.uint8)
+        # column 0: the only possible run is origin-anchored (open = tb)
+        E[i, 0] = tb + gape * i
+        ET[i, 0] = 1 if i > 1 else 0
         # F: sequential along j — vectorize via cummin trick:
         # F[i,j] = min_k<=j (H[i,k] + gapo + gape*(j-k)) =
         #          gape*j + min cummin(H[i,k] - gape*k) ... but H[i,j]
@@ -145,10 +164,15 @@ def align_end_to_end(pattern: bytes, text: bytes, mism: int, gapo: int,
         H[i, 0] = E[i, 0]
         HT[i, 0] = 1
 
-    # traceback
+    # traceback; a 'D' run ending at (P, T) may be cheaper once its open
+    # is re-charged at the end-boundary cost te
+    score = int(H[P, T])
+    layer = int(HT[P, T])
+    end_d = int(E[P, T]) - gapo + te
+    if end_d < score:
+        score, layer = end_d, 1
     ops: List[str] = []
     i, j = P, T
-    layer = HT[i, j]
     while i > 0 or j > 0:
         if i > 0 and j > 0 and layer == 0:
             ops.append("=" if pattern[i - 1] == text[j - 1] else "X")
@@ -166,7 +190,7 @@ def align_end_to_end(pattern: bytes, text: bytes, mism: int, gapo: int,
             j -= 1
             layer = 2 if ext else HT[i, j]
     ops.reverse()
-    return int(H[P, T]), _compress_ops(ops)
+    return score, _compress_ops(ops)
 
 
 def align_ends_free_text(pattern: bytes, text: bytes, mism: int, gapo: int,

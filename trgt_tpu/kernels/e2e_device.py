@@ -25,6 +25,16 @@ INF = jnp.float32(1e9)
 
 CigarOps = List[Tuple[int, str]]
 
+# Memory bounds for the (P+1, B, T+1) direction-bit traceback tensor:
+# problems above MAX_DEVICE_CELLS per pair route to the host aligner
+# (which delegates to the Myers-Miller linear-memory path when large —
+# the analog of WFA MemoryUltraLow, ref: src/wfaligner.rs:173-181 used by
+# src/commands/genotype.rs:82-92); below it, the batch dimension is
+# chunked so one dispatch never materializes more than
+# TRACEBACK_BUDGET_BYTES of direction bits.
+MAX_DEVICE_CELLS = 1 << 20
+TRACEBACK_BUDGET_BYTES = 1 << 27
+
 
 @functools.partial(jax.jit, static_argnames=("mism", "gapo", "gape"))
 def _e2e_scan(pattern_toks, text_toks, mism: int, gapo: int, gape: int):
@@ -167,9 +177,16 @@ def e2e_align_batch(pattern_texts: Sequence[Tuple[bytes, bytes]],
             for i, r in zip(idxs, sub):
                 out[i] = r
         return out
-    if len(pattern_texts) > 512:
+    bP = _bucket(max(len(pattern_texts[0][0]), 1)) + 1
+    bT = _bucket(max(len(pattern_texts[0][1]), 1)) + 1
+    if bP * bT > MAX_DEVICE_CELLS:
+        from .align_host import align_end_to_end
+        return [align_end_to_end(p, t, mism, gapo, gape)
+                for p, t in pattern_texts]
+    max_chunk = max(1, min(512, TRACEBACK_BUDGET_BYTES // (bP * bT)))
+    if len(pattern_texts) > max_chunk:
         out = []
-        for lo, hi in chunk_ranges(len(pattern_texts)):
+        for lo, hi in chunk_ranges(len(pattern_texts), max_chunk):
             out.extend(e2e_align_batch(pattern_texts[lo:hi], mism, gapo,
                                        gape))
         return out
