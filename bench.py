@@ -1,16 +1,23 @@
 """Benchmark: end-to-end genotyping throughput (loci/sec) on the default
-JAX backend (TPU under the driver).
+JAX backend (TPU under the driver), measured on a HETEROGENEOUS
+synthetic catalog (trgt_tpu/utils/synth.py hetero_loci: motif lengths
+1-10, TR lengths 10bp-10kb, per-locus depths 10-200, error rates 0-2%,
+hom/het/double-het genotypes, multi-motif HMMs) — the workload SURVEY §7
+names as the real performance lever (shape-bucketing economics), not a
+single replayed locus.
 
-Replays the bundled example locus as a multi-locus catalog and times the
-full pipeline — BAM fetch/parse, span location (device flank DP on the
-~half of read×flank problems that miss the exact-substring path),
-genotyping, device HMM annotation, VCF+BAM output. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Times the full pipeline — BAM fetch/parse, span location (device flank
+DP on the problems that miss the exact-substring path), genotyping,
+device HMM annotation + traceback, VCF+BAM output. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "stages": {...}}
 
 vs_baseline is the speedup of the device-kernel path over the host-only
-(numpy) path measured in the same run — the reference TRGT Rust binary
-cannot be built in this image (no cargo), so the in-run host path is the
-honest baseline anchor; see BASELINE.md.
+(numpy) path measured in the same run on a deterministic 1-in-8 stride
+subset of the same catalog (the full host run takes hours; the stride
+preserves the catalog mix) — the reference TRGT Rust binary cannot be
+built in this image (no cargo), so the in-run host path is the honest
+baseline anchor; see BASELINE.md.
 
 Robustness: the remote-TPU tunnel can hang indefinitely (wedged grants),
 so every measured run executes in a subprocess with its own timeout; on
@@ -21,7 +28,6 @@ import json
 import os
 import subprocess
 import sys
-import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -29,93 +35,105 @@ sys.path.insert(0, REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(REPO, ".jax_cache"))
 
-EXAMPLE = "/root/reference/example"
-N_LOCI = 256
+N_LOCI = 384
+HOST_STRIDE = 8
+SEED = 42
 
 
-def make_catalog(path: str, n: int) -> None:
-    with open(path, "w") as fh:
-        for i in range(n):
-            fh.write(f"chrA\t10001\t10061\tID=TR{i + 1};MOTIFS=CAG;"
-                     f"STRUC=<TR>\n")
+def prepare_dataset():
+    from trgt_tpu.utils.synth import cached_hetero_dataset
+    dsdir = cached_hetero_dataset(N_LOCI, seed=SEED, tag="bench")
+    stride_bed = os.path.join(dsdir, f"repeats_stride{HOST_STRIDE}.bed")
+    if not os.path.exists(stride_bed):
+        with open(os.path.join(dsdir, "repeats.bed")) as fh:
+            lines = fh.read().splitlines()
+        with open(stride_bed, "w") as fh:
+            fh.write("\n".join(lines[::HOST_STRIDE]) + "\n")
+    return dsdir
 
 
-def run_pipeline_inproc(workdir: str, device_mode: str) -> float:
+def run_pipeline_inproc(dsdir: str, device_mode: str, stride: int) -> dict:
     from trgt_tpu.jax_setup import setup_jax_cache
     setup_jax_cache()
     from trgt_tpu.cli import main
-    catalog = os.path.join(workdir, "repeats.bed")
-    if not os.path.exists(catalog):
-        make_catalog(catalog, N_LOCI)
-    prefix = os.path.join(workdir, f"bench_{device_mode}")
+    from trgt_tpu.engine import pipeline
+    bed = (os.path.join(dsdir, "repeats.bed") if stride == 1 else
+           os.path.join(dsdir, f"repeats_stride{stride}.bed"))
+    n = N_LOCI if stride == 1 else len(range(0, N_LOCI, stride))
+    prefix = os.path.join(dsdir, f"bench_{device_mode}")
+    pipeline.STAGE_TIMES.clear()
     t0 = time.time()
     rc = main([
         "genotype",
-        "--genome", os.path.join(EXAMPLE, "reference.fasta"),
-        "--repeats", catalog,
-        "--reads", os.path.join(EXAMPLE, "sample.bam"),
+        "--genome", os.path.join(dsdir, "ref.fasta"),
+        "--repeats", bed,
+        "--reads", os.path.join(dsdir, "reads.bam"),
         "--output-prefix", prefix,
         "--device", device_mode,
     ])
     elapsed = time.time() - t0
     assert rc == 0
-    return N_LOCI / elapsed
+    return {"lps": n / elapsed,
+            "stages": {k: round(v, 2)
+                       for k, v in pipeline.STAGE_TIMES.items()}}
 
 
-def run_pipeline_subproc(workdir: str, device_mode: str,
+def run_pipeline_subproc(dsdir: str, device_mode: str, stride: int,
                          timeout_s: float, warmup: bool):
     """Run (optionally warmup+) timed pipeline in a subprocess.
-    Returns loci/sec or None on failure/timeout."""
+    Returns the result dict or None on failure/timeout."""
     code = (
-        "import sys; sys.path.insert(0, {repo!r})\n"
+        "import sys, json; sys.path.insert(0, {repo!r})\n"
         "import bench\n"
         "w = {warmup!r}\n"
-        "if w: bench.run_pipeline_inproc({workdir!r}, {mode!r})\n"
-        "lps = bench.run_pipeline_inproc({workdir!r}, {mode!r})\n"
-        "print('LPS', lps)\n"
-    ).format(repo=REPO, workdir=workdir, mode=device_mode, warmup=warmup)
+        "if w: bench.run_pipeline_inproc({dsdir!r}, {mode!r}, {stride!r})\n"
+        "r = bench.run_pipeline_inproc({dsdir!r}, {mode!r}, {stride!r})\n"
+        "print('RESULT', json.dumps(r))\n"
+    ).format(repo=REPO, dsdir=dsdir, mode=device_mode, warmup=warmup,
+             stride=stride)
     try:
-        proc = subprocess.run([sys.executable, "-c", code],
+        proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
                               capture_output=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
         return None
     for line in proc.stdout.decode().splitlines():
-        if line.startswith("LPS "):
-            return float(line.split()[1])
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
     return None
 
 
 def main():
-    workdir = tempfile.mkdtemp(prefix="trgt_bench_")
-    make_catalog(os.path.join(workdir, "repeats.bed"), N_LOCI)
+    dsdir = prepare_dataset()
 
     # timed device run (warmup + measurement in one subprocess; the
     # persistent compile cache makes the warmup cheap on reruns)
-    device_lps = run_pipeline_subproc(workdir, "auto", timeout_s=2400,
-                                      warmup=True)
-    metric = "genotype loci/sec (example-locus replay, e2e)"
-    if device_lps is None:
-        metric = ("genotype loci/sec (example-locus replay, e2e; "
+    metric = "genotype loci/sec (heterogeneous catalog, e2e)"
+    dev = run_pipeline_subproc(dsdir, "auto", 1, timeout_s=3000,
+                               warmup=True)
+    if dev is None:
+        metric = ("genotype loci/sec (heterogeneous catalog, e2e; "
                   "TPU unavailable, CPU-JAX kernels)")
-        device_lps = run_pipeline_subproc(workdir, "cpu", timeout_s=900,
-                                          warmup=True)
+        dev = run_pipeline_subproc(dsdir, "cpu", 1, timeout_s=1800,
+                                   warmup=True)
 
-    host_lps = run_pipeline_subproc(workdir, "host", timeout_s=900,
-                                    warmup=False)
+    host = run_pipeline_subproc(dsdir, "host", HOST_STRIDE,
+                                timeout_s=1800, warmup=False)
 
-    if device_lps is None and host_lps is None:
+    if dev is None and host is None:
         print(json.dumps({"metric": metric, "value": 0.0,
                           "unit": "loci/sec/chip", "vs_baseline": 0.0}))
         return
-    if device_lps is None:
-        device_lps = host_lps
+    if dev is None:
+        dev = host
         metric += " [numpy host fallback]"
-    vs = device_lps / host_lps if host_lps else 1.0
+    vs = dev["lps"] / host["lps"] if host and host["lps"] else 1.0
     print(json.dumps({
         "metric": metric,
-        "value": round(device_lps, 3),
+        "value": round(dev["lps"], 3),
         "unit": "loci/sec/chip",
         "vs_baseline": round(vs, 3),
+        "stages": dev.get("stages", {}),
+        "host_lps_stride8": round(host["lps"], 3) if host else None,
     }))
 
 

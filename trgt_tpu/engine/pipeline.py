@@ -17,16 +17,25 @@ This amortizes device-dispatch latency over the whole batch, which is
 what makes the TPU path win over per-locus dispatch.
 """
 
+import contextlib
 import logging
 import math
+import time
+from collections import Counter
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..genotype import genotype_cluster, genotype_flank, genotype_size
-from ..hmm import (Annotation, calc_purity, collapse_labels, count_motifs,
-                   label_motifs, remove_imperfect_motifs,
+from ..hmm import (Annotation, collapse_labels, count_motifs,
                    replace_invalid_bases)
+# numpy-vectorized decoders (equality with the decode.py reference
+# replicas is enforced by tests/test_decode_fast.py); the per-state
+# Python loops dominate host time on long alleles / targeted depths
+from ..hmm.decode_fast import (fast_calc_purity as calc_purity,
+                               fast_label_motifs as label_motifs,
+                               fast_remove_imperfect_motifs as
+                               remove_imperfect_motifs)
 from ..utils import Genotyper, Ploidy
 from . import workflow
 from .workflow import (Allele, LocusResult, Params, cached_hmm,
@@ -36,6 +45,20 @@ log = logging.getLogger("trgt")
 
 MIN_RQ_FOR_PURITY = 0.9
 PURITY_CUTOFF = 0.9
+
+# cumulative wall-clock per pipeline stage (seconds); `extract` runs in
+# the prefetch thread and overlaps device compute, so the stage times
+# sum to MORE than end-to-end wall time. Read by bench.py.
+STAGE_TIMES: Counter = Counter()
+
+
+@contextlib.contextmanager
+def _timed(stage: str):
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        STAGE_TIMES[stage] += time.perf_counter() - t0
 
 
 class _LocusState:
@@ -111,6 +134,10 @@ class BatchPipeline:
 
     # ---- batch driver ----
     def _extract_batch(self, loci, bam):
+        with _timed("extract"):
+            return self._extract_batch_inner(loci, bam)
+
+    def _extract_batch_inner(self, loci, bam):
         params = self.params
         states = []
         pending = []
@@ -137,14 +164,20 @@ class BatchPipeline:
         return states
 
     def _finish_batch(self, states):
-        self._stage_spans(states)
-        self._stage_impure_filter(states)
-        self._stage_genotype(states)
-        self._stage_annotate(states)
+        with _timed("spans"):
+            self._stage_spans(states)
+        with _timed("impure_filter"):
+            self._stage_impure_filter(states)
+        with _timed("genotype"):
+            self._stage_genotype(states)
+        with _timed("annotate"):
+            self._stage_annotate(states)
 
+        with _timed("assemble"):
+            for st in states:
+                if st.result is None:
+                    st.result = self._assemble(st)
         for st in states:
-            if st.result is None:
-                st.result = self._assemble(st)
             yield st.locus, st.result
 
     # ---- stage 1: span location ----

@@ -10,12 +10,20 @@ Design (TPU-first):
   * The position loop is a `lax.scan`; each step gathers in-edge scores
     (B, S, E), takes a first-wins argmax (reference tie-breaking), then
     resolves silent states level-by-level via per-item level masks.
-  * Per-position argmax predecessors stream out as an (L, B, S) uint8
-    array; traceback is a linear host pass.
+  * Traceback runs ON DEVICE as a reverse scan over positions: the
+    start/end states emit '#', so every column holds exactly one
+    emitting path state preceded by a silent chain of ≤ num_levels
+    states (silent levels are topologically ordered). Each reverse step
+    walks that chain with one-hot gathers and emits a (B, K) path
+    segment, K = num_levels+1. The fetch is (L+1, B, K) int8/int16 —
+    ~2·S/K smaller than shipping the full (2, L, B, S) predecessor
+    tables — and host work drops to one reshape+mask per sequence
+    (replaces the per-sequence Python while-loop; the reference
+    traceback is src/hmm/hmm_model.rs:125-142).
 
 Padding semantics: the DP is causal, so predecessors at positions < len
-are unaffected by padding; traceback starts at each sequence's own final
-position.
+are unaffected by padding; the reverse walk arms each batch row at its
+own final position (t == len-1) and rows with len 0 never arm.
 """
 
 import functools
@@ -90,10 +98,9 @@ def _stack_tables(hmms: Sequence[Hmm]):
                 no_edge_emit=no_edge_emit), len(per[0]["level_masks"]) if B else 0
 
 
-@functools.partial(jax.jit, static_argnames=("num_levels",))
-def _viterbi_scan(tokens, tables, num_levels: int):
-    """tokens: (B, L) int32. Per-item tables (see _stack_tables).
-    Returns preds (L, B, S) int32 and valid (L, B, S) bool.
+def _forward(tokens, tables, num_levels: int):
+    """Traced forward pass. tokens: (B, L) int32; per-item tables (see
+    _stack_tables). Returns preds (L, B, S) int32, valids (L, B, S) bool.
 
     Gathers are expressed as one-hot contractions (MXU) rather than
     dynamic gathers — dynamic gathers inside the scan body compile
@@ -158,13 +165,70 @@ def _viterbi_scan(tokens, tables, num_levels: int):
     _, (preds, valids) = jax.lax.scan(step, col0, tokens[:, 1:].T)
     preds = jnp.concatenate([pred0[None], preds], axis=0)
     valids = jnp.concatenate([valid0[None], valids], axis=0)
-    # compact transfer dtypes (host↔device bandwidth is precious over
-    # the tunnel: ~28ms fixed + ~50ms/MB per fetch); state count fits
-    # uint8 up to 255 states, int16 beyond. preds+valids travel STACKED
+    return preds, valids
+
+
+@functools.partial(jax.jit, static_argnames=("num_levels",))
+def _viterbi_full(tokens, tables, lens, end_states, num_levels: int):
+    """Forward Viterbi + ON-DEVICE traceback.
+
+    lens: (B,) int32 padded query lengths incl. '#' sentinels (0 ≙ padded
+    row). end_states: (B,) int32 per-item num_states-1.
+
+    Returns (L+1, B, K) int8/int16, K = num_levels+1: rows 0..L-1 are
+    per-column traceback segments in visit order [entry, silent…,
+    emitting] padded with -1; row L broadcasts the per-item ok flag.
+    Host assembly: path = segs[:len, b, ::-1] filtered ≥ 0 (forward
+    order; ref traceback semantics src/hmm/hmm_model.rs:125-142)."""
+    preds, valids = _forward(tokens, tables, num_levels)
+    silent = tables["silent"].astype(jnp.float32)           # (B, S)
+    B, L = tokens.shape
+    S = tables["em"].shape[1]
+    K = num_levels + 1
+
+    # per-position payload for the reverse walk: pred + valid stacked so
+    # each chain step is ONE one-hot contraction
+    pv = jnp.stack([preds.astype(jnp.float32),
+                    valids.astype(jnp.float32)], axis=1)    # (L, 2, B, S)
+
+    def back_step(carry, xs):
+        cur, active, ok = carry
+        pv_t, t = xs                                        # (2,B,S), ()
+        start_here = t == (lens - 1)
+        cur = jnp.where(start_here, end_states, cur)
+        active = active | start_here
+        s = cur
+        alive = active           # still walking this column's chain
+        next_cur = cur
+        segs = []
+        for _ in range(K):
+            oh = jax.nn.one_hot(s, S, dtype=jnp.float32)    # (B, S)
+            g = jnp.einsum("cbs,bs->cb", pv_t, oh,
+                           preferred_element_type=jnp.float32)
+            pred_s = g[0].astype(jnp.int32)
+            valid_s = g[1] > 0.5
+            sil_s = jnp.einsum("bs,bs->b", silent, oh,
+                               preferred_element_type=jnp.float32) > 0.5
+            segs.append(jnp.where(alive, s, -1))
+            ok = ok & (~alive | valid_s)
+            # emitting state ends the column; its pred enters column t-1
+            next_cur = jnp.where(alive & ~sil_s, pred_s, next_cur)
+            alive = alive & sil_s
+            s = jnp.where(alive, pred_s, s)
+        seg = jnp.stack(segs, axis=1)                       # (B, K)
+        return (next_cur, active, ok), seg
+
+    init = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
+            jnp.ones((B,), bool))
+    (_, _, ok), segs = jax.lax.scan(
+        back_step, init, (pv, jnp.arange(L)), reverse=True)
+    # compact transfer dtype (host↔device bandwidth is precious over the
+    # tunnel: ~28ms fixed + ~50ms/MB per fetch); segs+ok travel STACKED
     # so the stage pays ONE fetch.
-    pred_dtype = jnp.uint8 if S <= 255 else jnp.int16
-    return jnp.stack([preds.astype(pred_dtype),
-                      valids.astype(pred_dtype)])
+    out_dtype = jnp.int8 if S <= 127 else jnp.int16
+    segs = segs.astype(out_dtype)                           # (L, B, K)
+    ok_row = jnp.broadcast_to(ok[:, None], (B, K)).astype(out_dtype)
+    return jnp.concatenate([segs, ok_row[None]], axis=0)
 
 
 
@@ -203,41 +267,30 @@ def viterbi_batch_multi(hmms: Sequence[Hmm],
     if not nonempty:
         return out
     toks, lens = encode_queries([q for _, _, q in nonempty])
-    B = toks.shape[0]
+    B, L = toks.shape
     batch_hmms = [h for _, h, _ in nonempty]
     # pad the batch with copies of the first HMM
     batch_hmms = batch_hmms + [batch_hmms[0]] * (B - len(batch_hmms))
     tables_np, _ = _stack_tables(batch_hmms)
     num_levels = tables_np["level_masks"].shape[1]
+    lens_full = np.zeros(B, dtype=np.int32)
+    lens_full[:len(nonempty)] = lens          # len 0 → row never arms
+    ends = np.array([h.num_states - 1 for h in batch_hmms],
+                    dtype=np.int32)
     from .. import mesh
     tables = {k: mesh.put_batch(v) for k, v in tables_np.items()}
-    pv = np.asarray(_viterbi_scan(mesh.put_batch(toks), tables,
-                                  num_levels))
-    preds, valids = pv[0], pv[1]
+    segs_ok = np.asarray(_viterbi_full(
+        mesh.put_batch(toks), tables, mesh.put_batch(lens_full),
+        mesh.put_batch(ends), num_levels))
+    segs, oks = segs_ok[:L], segs_ok[L, :, 0] != 0
     for b, (i, h, q) in enumerate(nonempty):
-        out[i] = _traceback(h, preds[:, b, :], valids[:, b, :],
-                            int(lens[b]))
+        if not oks[b]:
+            raise ValueError("HMM traceback failed (no valid path)")
+        seg = segs[:int(lens[b]), b, ::-1].reshape(-1)
+        out[i] = seg[seg >= 0].tolist()
     return out
 
 
 def viterbi_batch(hmm: Hmm, queries: Sequence[str]) -> List[List[int]]:
     """Device-batched version of [hmm.label(q) for q in queries]."""
     return viterbi_batch_multi([hmm] * len(queries), queries)
-
-
-def _traceback(hmm: Hmm, preds: np.ndarray, valids: np.ndarray,
-               length: int) -> List[int]:
-    state = hmm.num_states - 1
-    index = length - 1
-    path = []
-    while state != 0:
-        path.append(state)
-        if not valids[index, state]:
-            raise ValueError("HMM traceback failed (no valid path)")
-        prev_state = int(preds[index, state])
-        if not hmm.is_silent(state):
-            index -= 1
-        state = prev_state
-    path.append(0)
-    path.reverse()
-    return path

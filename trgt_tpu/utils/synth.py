@@ -12,12 +12,18 @@ from ..io.bam_write import BamWriter
 
 class SynthLocus:
     def __init__(self, lid: str, motif: str, ref_copies: int,
-                 allele_copies: Tuple[int, int], motifs: Optional[str] = None):
+                 allele_copies: Tuple[int, int], motifs: Optional[str] = None,
+                 depth: Optional[int] = None,
+                 error_rate: Optional[float] = None):
         self.id = lid
         self.motif = motif
         self.ref_copies = ref_copies
         self.allele_copies = allele_copies
         self.motifs = motifs or motif
+        # per-locus overrides of the dataset-level values (heterogeneous
+        # catalogs; None keeps the make_dataset defaults)
+        self.depth = depth
+        self.error_rate = error_rate
 
 
 def mm_ml_for(seq: str, prob: int):
@@ -38,6 +44,88 @@ def mm_ml_for(seq: str, prob: int):
     mm = "C+m," + ",".join(str(d) for d in deltas) + ";"
     ml = [prob] * len(deltas)
     return [("MM", "Z", mm), ("ML", "B", ("C", ml))]
+
+
+def cached_hetero_dataset(n: int, seed: int = 42, chrom: str = "chrS",
+                          haploid_homs: bool = False, root: str = None,
+                          tag: str = "hetero") -> str:
+    """Generate (or reuse) the deterministic heterogeneous dataset under
+    a cache dir; writes ref.fasta/repeats.bed/reads.bam + truth.json
+    (expected allele TR lengths per locus). Shared by bench.py and
+    concordance.py so both subprocesses hit the same files."""
+    import json
+    import os
+    root = root or os.environ.get("TRGT_SYNTH_CACHE",
+                                  "/tmp/trgt_hetero_cache")
+    d = os.path.join(root, f"{tag}_n{n}_s{seed}")
+    marker = os.path.join(d, "DONE")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    loci = hetero_loci(n, seed=seed)
+    if haploid_homs:
+        # haploid truth needs a single well-defined allele
+        for lc in loci:
+            lc.allele_copies = (lc.allele_copies[0], lc.allele_copies[0])
+    make_dataset(d, loci, seed=seed, chrom=chrom)
+    truth = {}
+    for lc in loci:
+        truth[lc.id] = {
+            "motif_len": len(lc.motif),
+            "alleles": sorted(a * len(lc.motif) for a in lc.allele_copies),
+            "error_rate": lc.error_rate or 0.0,
+            "haploid": haploid_homs,
+        }
+    with open(os.path.join(d, "truth.json"), "w") as fh:
+        json.dump(truth, fh)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return d
+
+
+# motif pool covering lengths 1-10 (heterogeneous HMM topologies)
+HETERO_MOTIFS = ["T", "TG", "CAG", "GATA", "AATGG", "CCATGG", "CCATAGG",
+                 "CCATTAGG", "CCATTTAGG", "CCATTTTAGG"]
+
+
+def hetero_loci(n: int, seed: int = 42) -> List[SynthLocus]:
+    """Deterministic heterogeneous catalog spec (VERDICT r1 item 5):
+    motif lengths 1-10, TR lengths ~10bp-10kb (log-uniform), per-locus
+    depths 10-200 (capped for long TRs to bound data volume), error
+    rates 0-2%, hom/het/double-het genotypes, some multi-motif
+    definitions. Truth for error-free loci: allele TR lengths =
+    copies × motif_len."""
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        motif = HETERO_MOTIFS[i % len(HETERO_MOTIFS)]
+        mlen = len(motif)
+        tr_len = int(10.0 * (1000.0 ** rng.random()))      # 10..10000 bp
+        ref_copies = max(2, tr_len // mlen)
+        if tr_len <= 500:
+            depth = rng.randint(10, 200)
+        elif tr_len <= 2000:
+            depth = rng.randint(10, 60)
+        else:
+            depth = rng.randint(8, 20)
+        kind = i % 3
+        delta = max(1, ref_copies // 5)
+        if kind == 0:
+            alleles = (ref_copies, ref_copies)             # hom ref
+        elif kind == 1:
+            alleles = (ref_copies, ref_copies + delta)     # het expansion
+        else:
+            alleles = (max(2, ref_copies - delta),
+                       ref_copies + delta)                 # double het
+        error_rate = [0.0, 0.0, 0.005, 0.01, 0.02][i % 5]
+        motifs = motif
+        if i % 7 == 3:
+            # decoy second motif → multi-motif HMM in the same batch
+            motifs = motif + "," + HETERO_MOTIFS[(i + 4) % len(HETERO_MOTIFS)]
+        out.append(SynthLocus(f"HET{i}", motif, ref_copies, alleles,
+                              motifs=motifs, depth=depth,
+                              error_rate=error_rate))
+    return out
 
 
 def make_dataset(tmpdir: str, loci: List[SynthLocus], depth: int = 20,
@@ -82,7 +170,10 @@ def make_dataset(tmpdir: str, loci: List[SynthLocus], depth: int = 20,
     for locus, start, end in locus_layout:
         lf = ref_seq[start - read_flank:start]
         rf = ref_seq[end:end + read_flank]
-        for ri in range(depth):
+        locus_depth = locus.depth if locus.depth is not None else depth
+        locus_err = (locus.error_rate if locus.error_rate is not None
+                     else error_rate)
+        for ri in range(locus_depth):
             allele = locus.allele_copies[ri % 2]
             tr = locus.motif * allele
             seq = lf + tr + rf
@@ -103,10 +194,10 @@ def make_dataset(tmpdir: str, loci: List[SynthLocus], depth: int = 20,
                 cigar.append((-delta, "D"))
             cigar.append((read_flank, "="))
             pos0 = start - read_flank
-            if error_rate > 0.0:
+            if locus_err > 0.0:
                 mutated = []
                 for ch in seq:
-                    if rng.random() < error_rate:
+                    if rng.random() < locus_err:
                         mutated.append(rng.choice("ACGT".replace(ch, "")))
                     else:
                         mutated.append(ch)
