@@ -703,4 +703,161 @@ int64_t trgt_bam_scan(const uint8_t *buf, size_t size, size_t offset,
     return count;
 }
 
+// ---------------- CRAM rANS4x8 decode ----------------
+//
+// Native fast path for the CRAM input stack (the reference reads CRAM
+// through htslib's C rANS codec; ref: src/commands/genotype.rs:46).
+// Mirrors trgt_tpu/io/cram.py rans_decode (spec section 13) exactly —
+// including renormalization that stops at end-of-input — so the Python
+// implementation stays the behavioural twin.
+
+static const uint32_t RANS_LOW = 1u << 23;
+static const uint32_t RANS_TF = 4096;  // TOTFREQ
+
+struct RansCursor {
+    const uint8_t *d;
+    size_t pos, size;
+    int ok;
+    uint8_t u8() {
+        if (pos >= size) { ok = 0; return 0; }
+        return d[pos++];
+    }
+    int32_t i32() {
+        if (pos + 4 > size) { ok = 0; return 0; }
+        int32_t v;
+        memcpy(&v, d + pos, 4);
+        pos += 4;
+        return v;
+    }
+};
+
+// Frequency table for one context: freq[s], cumulative cum[s], and a
+// 4096-entry slot→symbol lookup.
+struct RansTable {
+    uint16_t freq[256];
+    uint16_t cum[256];
+    uint8_t lookup[RANS_TF];
+};
+
+static int read_freq(RansCursor &c) {
+    int f = c.u8();
+    if (f >= 0x80) f = ((f & 0x7F) << 8) | c.u8();
+    return f;
+}
+
+// RLE symbol stream step (spec 13.4): advance (j, rle) to the next
+// symbol; returns 0 when the stream terminates.
+static inline int rle_next(RansCursor &c, int &j, int &rle) {
+    if (rle > 0) {
+        rle--;
+        j++;
+        return 1;
+    }
+    int nxt = c.u8();
+    if (nxt == j + 1) {
+        j = nxt;
+        rle = c.u8();
+        return 1;
+    }
+    j = nxt;
+    return j != 0;
+}
+
+static int read_table0(RansCursor &c, RansTable &t) {
+    memset(t.freq, 0, sizeof(t.freq));
+    memset(t.lookup, 0, sizeof(t.lookup));
+    int j = c.u8(), rle = 0;
+    do {
+        t.freq[j & 0xFF] = (uint16_t)read_freq(c);
+    } while (c.ok && rle_next(c, j, rle));
+    if (!c.ok) return 0;
+    uint32_t acc = 0;
+    for (int s = 0; s < 256; s++) {
+        t.cum[s] = (uint16_t)acc;
+        uint32_t hi = acc + t.freq[s];
+        for (uint32_t i = acc; i < hi && i < RANS_TF; i++)
+            t.lookup[i] = (uint8_t)s;
+        acc = hi;
+    }
+    return 1;
+}
+
+static inline void rans_advance(uint32_t &x, const RansTable &t, uint8_t s,
+                                const uint8_t *d, size_t &pos, size_t size) {
+    x = t.freq[s] * (x >> 12) + (x & (RANS_TF - 1)) - t.cum[s];
+    while (x < RANS_LOW && pos < size) x = (x << 8) | d[pos++];
+}
+
+// Decode a rANS4x8 payload (orders 0 and 1). *out is malloc'd; caller
+// frees with trgt_buf_free. Returns 0 on success.
+int trgt_rans_decode(const uint8_t *data, size_t size,
+                     uint8_t **out, size_t *out_size) {
+    RansCursor c{data, 0, size, 1};
+    int order = c.u8();
+    (void)c.i32();  // compressed size
+    int32_t osz = c.i32();
+    if (!c.ok || osz < 0) return -1;
+    uint8_t *o = (uint8_t *)malloc(osz ? osz : 1);
+    if (!o) return -1;
+    if (order == 0) {
+        RansTable *t = new RansTable();
+        if (!read_table0(c, *t)) { delete t; free(o); return -1; }
+        uint32_t st[4];
+        for (int i = 0; i < 4; i++) st[i] = (uint32_t)c.i32();
+        if (!c.ok) { delete t; free(o); return -1; }
+        size_t pos = c.pos;
+        for (int32_t i = 0; i < osz; i++) {
+            uint32_t &x = st[i & 3];
+            uint8_t s = t->lookup[x & (RANS_TF - 1)];
+            o[i] = s;
+            rans_advance(x, *t, s, data, pos, size);
+        }
+        delete t;
+    } else if (order == 1) {
+        // per-context tables; contexts enumerated by an outer RLE
+        RansTable *tabs = new RansTable[256];
+        for (int i = 0; i < 256; i++) {
+            memset(tabs[i].freq, 0, sizeof(tabs[i].freq));
+            memset(tabs[i].lookup, 0, sizeof(tabs[i].lookup));
+        }
+        int j = c.u8(), rle = 0;
+        do {
+            if (!read_table0(c, tabs[j & 0xFF])) c.ok = 0;
+        } while (c.ok && rle_next(c, j, rle));
+        if (!c.ok) { delete[] tabs; free(o); return -1; }
+        uint32_t st[4];
+        for (int i = 0; i < 4; i++) st[i] = (uint32_t)c.i32();
+        if (!c.ok) { delete[] tabs; free(o); return -1; }
+        size_t pos = c.pos;
+        int32_t isz4 = osz >> 2;
+        uint8_t ctx[4] = {0, 0, 0, 0};
+        int64_t offs[4] = {0, isz4, 2 * (int64_t)isz4, 3 * (int64_t)isz4};
+        for (int32_t i = 0; i < isz4; i++) {
+            for (int j = 0; j < 4; j++) {
+                uint32_t &x = st[j];
+                const RansTable &t = tabs[ctx[j]];
+                uint8_t s = t.lookup[x & (RANS_TF - 1)];
+                o[offs[j] + i] = s;
+                rans_advance(x, t, s, data, pos, size);
+                ctx[j] = s;
+            }
+        }
+        for (int32_t i = 4 * isz4; i < osz; i++) {
+            uint32_t &x = st[3];
+            const RansTable &t = tabs[ctx[3]];
+            uint8_t s = t.lookup[x & (RANS_TF - 1)];
+            o[i] = s;
+            rans_advance(x, t, s, data, pos, size);
+            ctx[3] = s;
+        }
+        delete[] tabs;
+    } else {
+        free(o);
+        return -1;
+    }
+    *out = o;
+    *out_size = (size_t)osz;
+    return 0;
+}
+
 }  // extern "C"

@@ -41,6 +41,12 @@ def test_rans_roundtrip(order):
     for data in cases:
         enc = rans_encode(data, order=order)
         assert rans_decode(enc) == data, (order, data[:20])
+        # native C++ decoder == Python twin on every case
+        from trgt_tpu.io import native as _native
+        from trgt_tpu.io.cram import rans_decode_py
+        if _native.get_lib() is not None:
+            assert _native.rans_decode(enc) == data, (order, data[:20])
+        assert rans_decode_py(enc) == data, (order, data[:20])
 
 
 def _mk_cram_from_bam(bam_path, fasta, cram_path):

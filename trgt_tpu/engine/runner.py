@@ -137,8 +137,10 @@ def run_genotype(args) -> None:
 
     device_mode = getattr(args, "device", "auto")
     use_device = device_mode != "host"
-    if device_mode == "cpu":
-        # must happen before JAX backend initialization
+    if device_mode in ("cpu", "host"):
+        # must happen before JAX backend initialization; 'host' never
+        # dispatches to a device, but stray backend discovery would
+        # still grab the single-client remote-TPU tunnel
         import jax
         jax.config.update("jax_platforms", "cpu")
 

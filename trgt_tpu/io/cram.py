@@ -191,7 +191,19 @@ def _cum_table(freqs: Dict[int, int]):
 
 
 def rans_decode(data: bytes) -> bytes:
-    """rANS4x8 block decode (orders 0 and 1), CRAM spec section 13."""
+    """rANS4x8 block decode (orders 0 and 1), CRAM spec section 13.
+    Dispatches to the C++ decoder (native/bamcodec.cpp
+    trgt_rans_decode) with this module's pure-Python implementation as
+    the behavioural twin / fallback (tests/test_cram.py asserts
+    equality)."""
+    from . import native as _native
+    out = _native.rans_decode(data)
+    if out is not None:
+        return out
+    return rans_decode_py(data)
+
+
+def rans_decode_py(data: bytes) -> bytes:
     bs = ByteStream(data)
     order = bs.u8()
     _comp_size = bs.i32()

@@ -66,6 +66,11 @@ def get_lib():
         lib.trgt_buf_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         lib.trgt_decode_seq.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_char_p]
+        lib.trgt_rans_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.trgt_rans_decode.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -98,6 +103,24 @@ def bgzf_compress(data: bytes, level: int = 6, add_eof: bool = True):
     rc = lib.trgt_bgzf_compress(src, len(data), level,
                                 1 if add_eof else 0, ctypes.byref(out),
                                 ctypes.byref(out_size))
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out, out_size.value)
+    finally:
+        lib.trgt_buf_free(out)
+
+
+def rans_decode(data: bytes):
+    """Native rANS4x8 decode (CRAM spec §13); None if unavailable or on
+    malformed input (callers fall back to the Python twin)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_size = ctypes.c_size_t()
+    rc = lib.trgt_rans_decode(data, len(data), ctypes.byref(out),
+                              ctypes.byref(out_size))
     if rc != 0:
         return None
     try:
