@@ -199,6 +199,15 @@ class BatchPipeline:
             for which, piece, spans in ((0, lf_piece, lf_spans),
                                         (1, rf_piece, rf_spans)):
                 for ri, read in enumerate(st.reads):
+                    # a read shorter than 2×flank can never pass the
+                    # spanning filter below (s[0] ≥ fl ∧ len−s[1] ≥ fl
+                    # ⇒ len ≥ 2·fl), so skip its alignments outright —
+                    # the locus window ± flank drags in neighbouring
+                    # reads that only partially overlap (the reference
+                    # pays the WFA cost and discards them afterwards,
+                    # tr.rs:111-170; the outcome is identical)
+                    if len(read.bases) < 2 * fl:
+                        continue
                     start = read.bases.find(piece)
                     if start != -1:
                         spans[ri] = (start, start + len(piece))

@@ -181,6 +181,17 @@ def e2e_align_batch(pattern_texts: Sequence[Tuple[bytes, bytes]],
     bT = _bucket(max(len(pattern_texts[0][1]), 1)) + 1
     if bP * bT > MAX_DEVICE_CELLS:
         from .align_host import align_end_to_end
+        if len(pattern_texts) > 1:
+            # numpy row passes release the GIL → thread the per-pair
+            # host alignments (results identical; order preserved)
+            from concurrent.futures import ThreadPoolExecutor
+            import os as _os
+            with ThreadPoolExecutor(min(len(pattern_texts),
+                                        _os.cpu_count() or 2)) as pool:
+                return list(pool.map(
+                    lambda pt: align_end_to_end(pt[0], pt[1], mism,
+                                                gapo, gape),
+                    pattern_texts))
         return [align_end_to_end(p, t, mism, gapo, gape)
                 for p, t in pattern_texts]
     max_chunk = max(1, min(512, TRACEBACK_BUDGET_BYTES // (bP * bT)))
