@@ -765,6 +765,7 @@ static inline int rle_next(RansCursor &c, int &j, int &rle) {
 
 static int read_table0(RansCursor &c, RansTable &t) {
     memset(t.freq, 0, sizeof(t.freq));
+    memset(t.cum, 0, sizeof(t.cum));
     memset(t.lookup, 0, sizeof(t.lookup));
     int j = c.u8(), rle = 0;
     do {
@@ -779,7 +780,11 @@ static int read_table0(RansCursor &c, RansTable &t) {
             t.lookup[i] = (uint8_t)s;
         acc = hi;
     }
-    return 1;
+    // a valid table's frequencies sum to exactly TOTFREQ (spec 13.3);
+    // anything else leaves lookup slots unset (they would silently
+    // decode as symbol 0) or overflows cum — reject as malformed, like
+    // the Python twin's KeyError on an uncovered slot
+    return acc == RANS_TF;
 }
 
 static inline void rans_advance(uint32_t &x, const RansTable &t, uint8_t s,
@@ -814,15 +819,22 @@ int trgt_rans_decode(const uint8_t *data, size_t size,
         }
         delete t;
     } else if (order == 1) {
-        // per-context tables; contexts enumerated by an outer RLE
+        // per-context tables; contexts enumerated by an outer RLE.
+        // Unlisted contexts stay invalid: decoding through one means the
+        // stream is malformed (the Python twin's empty lookup dict
+        // raises KeyError there), so fail instead of emitting garbage.
         RansTable *tabs = new RansTable[256];
+        bool valid[256];
         for (int i = 0; i < 256; i++) {
             memset(tabs[i].freq, 0, sizeof(tabs[i].freq));
+            memset(tabs[i].cum, 0, sizeof(tabs[i].cum));
             memset(tabs[i].lookup, 0, sizeof(tabs[i].lookup));
+            valid[i] = false;
         }
         int j = c.u8(), rle = 0;
         do {
             if (!read_table0(c, tabs[j & 0xFF])) c.ok = 0;
+            else valid[j & 0xFF] = true;
         } while (c.ok && rle_next(c, j, rle));
         if (!c.ok) { delete[] tabs; free(o); return -1; }
         uint32_t st[4];
@@ -832,8 +844,10 @@ int trgt_rans_decode(const uint8_t *data, size_t size,
         int32_t isz4 = osz >> 2;
         uint8_t ctx[4] = {0, 0, 0, 0};
         int64_t offs[4] = {0, isz4, 2 * (int64_t)isz4, 3 * (int64_t)isz4};
-        for (int32_t i = 0; i < isz4; i++) {
+        int fail = 0;
+        for (int32_t i = 0; i < isz4 && !fail; i++) {
             for (int j = 0; j < 4; j++) {
+                if (!valid[ctx[j]]) { fail = 1; break; }
                 uint32_t &x = st[j];
                 const RansTable &t = tabs[ctx[j]];
                 uint8_t s = t.lookup[x & (RANS_TF - 1)];
@@ -842,7 +856,8 @@ int trgt_rans_decode(const uint8_t *data, size_t size,
                 ctx[j] = s;
             }
         }
-        for (int32_t i = 4 * isz4; i < osz; i++) {
+        for (int32_t i = 4 * isz4; i < osz && !fail; i++) {
+            if (!valid[ctx[3]]) { fail = 1; break; }
             uint32_t &x = st[3];
             const RansTable &t = tabs[ctx[3]];
             uint8_t s = t.lookup[x & (RANS_TF - 1)];
@@ -851,6 +866,7 @@ int trgt_rans_decode(const uint8_t *data, size_t size,
             ctx[3] = s;
         }
         delete[] tabs;
+        if (fail) { free(o); return -1; }
     } else {
         free(o);
         return -1;

@@ -49,3 +49,54 @@ def test_decode_seq(lib):
     packed = bytes([0x12, 0x48])
     assert native.decode_seq(packed, 4) == "ACGT"
     assert native.decode_seq(packed, 3) == "ACG"
+
+
+def test_rans_decode_rejects_corrupt_table(lib):
+    """A corrupted order-0 frequency table (sum != 4096) must fail with
+    None, not silently decode garbage (ADVICE r2: validated table +
+    zero-init cum; the Python twin raises on the uncovered slot)."""
+    from trgt_tpu.io.cram_write import rans_encode
+    payload = (b"ACGTACGGTTACGT" * 40)
+    for order in (0, 1):
+        blob = bytearray(rans_encode(payload, order=order))
+        assert native.rans_decode(bytes(blob)) == payload
+        # frequency tables start right after the 9-byte header; smash a
+        # frequency byte so the table no longer sums to TOTFREQ
+        corrupt = bytearray(blob)
+        corrupt[10] ^= 0x55
+        out = native.rans_decode(bytes(corrupt))
+        assert out is None or out == payload  # reject, never garbage
+        # truly hostile: claim a symbol table that covers nothing
+        corrupt2 = bytearray(blob)
+        for i in range(9, min(len(corrupt2), 14)):
+            corrupt2[i] = 0xFF
+        out2 = native.rans_decode(bytes(corrupt2))
+        assert out2 is None or out2 == payload
+
+
+def test_rans_decode_matches_python_on_corrupt_inputs(lib):
+    """Fuzz: on random single-byte corruptions the native decoder never
+    returns a 'successful' result that differs from the Python twin's
+    (both may reject; neither may silently diverge... the native side
+    may additionally reject inputs Python accepts, which is fine)."""
+    import random
+
+    from trgt_tpu.io import cram
+
+    rng = random.Random(7)
+    payload = bytes(rng.choice(b"ACGTN") for _ in range(500))
+    from trgt_tpu.io.cram_write import rans_encode
+    for order in (0, 1):
+        blob = rans_encode(payload, order=order)
+        for _ in range(60):
+            corrupt = bytearray(blob)
+            corrupt[rng.randrange(len(corrupt))] ^= (
+                1 << rng.randrange(8))
+            data = bytes(corrupt)
+            native_out = native.rans_decode(data)
+            try:
+                py_out = cram.rans_decode_py(data)
+            except Exception:
+                py_out = None
+            if native_out is not None and py_out is not None:
+                assert native_out == py_out

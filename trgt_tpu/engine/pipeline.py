@@ -48,8 +48,11 @@ PURITY_CUTOFF = 0.9
 
 # cumulative wall-clock per pipeline stage (seconds); `extract` runs in
 # the prefetch thread and overlaps device compute, so the stage times
-# sum to MORE than end-to-end wall time. Read by bench.py.
+# sum to MORE than end-to-end wall time. Read by bench.py. The lock
+# makes the += safe against the prefetch thread (extract) racing the
+# main-thread stages.
 STAGE_TIMES: Counter = Counter()
+_STAGE_LOCK = __import__("threading").Lock()
 
 
 @contextlib.contextmanager
@@ -58,7 +61,9 @@ def _timed(stage: str):
     try:
         yield
     finally:
-        STAGE_TIMES[stage] += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        with _STAGE_LOCK:
+            STAGE_TIMES[stage] += dt
 
 
 class _LocusState:

@@ -287,13 +287,21 @@ class Block:
 
 
 def read_block(bs: ByteStream) -> Block:
+    start = bs.pos
     method = bs.u8()
     content_type = bs.u8()
     content_id = bs.itf8()
     comp_size = bs.itf8()
     raw_size = bs.itf8()
     payload = bs.read(comp_size)
-    bs.read(4)  # CRC32
+    # CRAM 3.0: each block ends with the CRC32 of its preceding bytes
+    # (header + compressed payload). Verifying here means a corrupt
+    # container fails loudly instead of decoding to silently wrong reads
+    # (the rANS codec cannot detect all corruptions by itself).
+    crc_expected = struct.unpack("<I", bs.read(4))[0]
+    crc_actual = zlib.crc32(bs.data[start:start + (bs.pos - 4 - start)])
+    if crc_actual != crc_expected:
+        raise IOError("CRAM block CRC32 mismatch (corrupt block)")
     if method == M_RAW:
         data = payload
     elif method == M_GZIP:

@@ -78,6 +78,14 @@ def _compress_ops(ops: List[str]) -> CigarOps:
 # repeat-expansion-scale alleles.
 LINEAR_FALLBACK_CELLS = 4_000_000
 
+# Above this many cells the adaptive-band aligner (align_banded.py, the
+# O(n·s) analog of WFA's wavefronts, ref: src/wfaligner.rs:489) is tried
+# first: on near-identical pairs — the consensus-repair workload — it
+# certifies optimality with a narrow band and returns the bit-identical
+# CIGAR at a fraction of the cost; on divergent pairs it bows out and
+# the quadratic/linear paths below run as before.
+BANDED_MIN_CELLS = 250_000
+
 
 def align_end_to_end(pattern: bytes, text: bytes, mism: int, gapo: int,
                      gape: int, tb: Optional[int] = None,
@@ -92,9 +100,28 @@ def align_end_to_end(pattern: bytes, text: bytes, mism: int, gapo: int,
     start/end boundary (Myers-Miller recursion leaves; default gapo).
     """
     P, T = len(pattern), len(text)
+    if P and T and P * T > BANDED_MIN_CELLS:
+        from .align_banded import align_end_to_end_banded
+        banded = align_end_to_end_banded(pattern, text, mism, gapo, gape,
+                                         tb=tb, te=te)
+        if banded is not None:
+            return banded
     if tb is None and te is None and P * T > LINEAR_FALLBACK_CELLS:
         from .align_linear import align_end_to_end_linear
         return align_end_to_end_linear(pattern, text, mism, gapo, gape)
+    return align_end_to_end_quadratic(pattern, text, mism, gapo, gape,
+                                      tb=tb, te=te)
+
+
+def align_end_to_end_quadratic(pattern: bytes, text: bytes, mism: int,
+                               gapo: int, gape: int,
+                               tb: Optional[int] = None,
+                               te: Optional[int] = None
+                               ) -> Tuple[int, CigarOps]:
+    """The full-matrix Gotoh DP (always exact; O(P·T) memory). The
+    banded and linear paths above must match its score — and, for the
+    banded path, its CIGAR bit-for-bit (tests/test_align_banded.py)."""
+    P, T = len(pattern), len(text)
     tb = gapo if tb is None else tb
     te = gapo if te is None else te
     if P == 0:

@@ -214,9 +214,11 @@ def e2e_align_batch(pattern_texts: Sequence[Tuple[bytes, bytes]],
     if not todo:
         return results
     from .. import mesh
+    from . import telemetry
     P = _bucket(max(len(pattern_texts[i][0]) for i in todo))
     T = _bucket(max(len(pattern_texts[i][1]) for i in todo))
     B = mesh.batch_bucket(len(todo))
+    telemetry.add_cells("consensus", B * P * (T + 1))
     p_toks = np.zeros((B, P), dtype=np.uint8)
     t_toks = np.zeros((B, T), dtype=np.uint8)
     for b, idx in enumerate(todo):

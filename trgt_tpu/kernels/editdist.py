@@ -109,9 +109,11 @@ def edit_distances_batch(pairs: Sequence[tuple]) -> List[int]:
             a, b = b, a
         norm.append((a, b))
     from .. import mesh
+    from . import telemetry
     P = _bucket(max(len(a) for a, _ in norm))
     T = _bucket(max(len(b) for _, b in norm))
     B = mesh.batch_bucket(len(norm))
+    telemetry.add_cells("editdist", B * P * (T + 1))
     a_toks = np.zeros((B, P), dtype=np.uint8)
     b_toks = np.zeros((B, T), dtype=np.uint8)
     for i, (a, b) in enumerate(norm):

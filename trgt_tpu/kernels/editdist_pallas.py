@@ -134,8 +134,10 @@ def edit_distances_leaf_pallas(pairs, interpret=None):
     W = _round_up(_bucket(max(len(b) for _, b in pairs) + 1, minimum=128),
                   128)
     from .. import mesh as _mesh
+    from . import telemetry
     B = _mesh.batch_bucket(len(pairs),
                            minimum=8 * _mesh.batch_multiple())
+    telemetry.add_cells("editdist", B * Pp * W)
     a_toks = np.zeros((B, Pp), dtype=np.uint8)
     b_toks = np.zeros((B, W), dtype=np.uint8)
     lens = np.zeros(B, dtype=np.int32)

@@ -281,8 +281,10 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
     plen = len(patterns[0])
     assert all(len(p) == plen for p in patterns)
     from .. import mesh
+    from . import telemetry
     T = _bucket(max(len(s) for s in seqs))
     B = mesh.batch_bucket(len(seqs))
+    telemetry.add_cells("span", B * plen * (T + 1))
     text_toks = np.zeros((B, T), dtype=np.uint8)
     text_toks[:len(seqs)] = _tokenize(seqs, T, pad=0)
     pattern_toks = np.zeros((B, plen), dtype=np.uint8)

@@ -287,6 +287,7 @@ def flank_align_leaf_pallas(patterns, seqs, mism: int, gapo: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     from .. import mesh as _mesh
+    from . import telemetry
     plen = max(len(p) for p in patterns)
     # bucket then lane-align so the distinct compile-shape count stays
     # ~2·log2(range) (first compile over the tunnel costs ~2s/shape)
@@ -294,6 +295,7 @@ def flank_align_leaf_pallas(patterns, seqs, mism: int, gapo: int,
     W = _round_up(_bucket(max(len(s) for s in seqs) + 1, minimum=128), 128)
     B = _mesh.batch_bucket(len(seqs),
                            minimum=8 * _mesh.batch_multiple())
+    telemetry.add_cells("span", B * Pp * W)
     pattern_toks = np.zeros((B, Pp), dtype=np.uint8)
     text_toks = np.zeros((B, W), dtype=np.uint8)
     lens = np.zeros(B, dtype=np.int32)

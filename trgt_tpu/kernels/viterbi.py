@@ -215,6 +215,10 @@ def _viterbi_full(tokens, tables, lens, end_states, num_levels: int):
             next_cur = jnp.where(alive & ~sil_s, pred_s, next_cur)
             alive = alive & sil_s
             s = jnp.where(alive, pred_s, s)
+        # a silent chain longer than K states would silently keep the
+        # stale entry state — poison ok so the host raises instead
+        # (bounded by construction today; guards future topology changes)
+        ok = ok & ~alive
         seg = jnp.stack(segs, axis=1)                       # (B, K)
         return (next_cur, active, ok), seg
 
@@ -273,6 +277,12 @@ def viterbi_batch_multi(hmms: Sequence[Hmm],
     batch_hmms = batch_hmms + [batch_hmms[0]] * (B - len(batch_hmms))
     tables_np, _ = _stack_tables(batch_hmms)
     num_levels = tables_np["level_masks"].shape[1]
+    from . import telemetry
+    # edge relaxations: every position does 1 + num_levels edge_max
+    # passes of (B, S, E) work each (see _forward/resolve_silent)
+    telemetry.add_cells(
+        "viterbi", B * L * tables_np["in_idx"].shape[1]
+        * tables_np["in_idx"].shape[2] * (1 + num_levels))
     lens_full = np.zeros(B, dtype=np.int32)
     lens_full[:len(nonempty)] = lens          # len 0 → row never arms
     ends = np.array([h.num_states - 1 for h in batch_hmms],
