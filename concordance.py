@@ -109,7 +109,7 @@ def check_truth(vcf_path: str, truth: dict):
     return n_checked, n_pass, failures
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--n-xy", type=int, default=40)
@@ -117,7 +117,15 @@ def main():
                     help="device path to compare against host (auto/cpu)")
     ap.add_argument("--out", default=os.path.join(REPO, "CONCORDANCE.md"))
     ap.add_argument("--timeout", type=float, default=7200)
-    args = ap.parse_args()
+    ap.add_argument("--quick", action="store_true",
+                    help="small catalogs + tight timeouts (the pytest "
+                         "CI mode, tests/test_concordance_quick.py — "
+                         "keeps this harness from silently rotting)")
+    args = ap.parse_args(argv)
+    if args.quick:
+        args.n = min(args.n, 16)
+        args.n_xy = min(args.n_xy, 6)
+        args.timeout = min(args.timeout, 600)
 
     configs = [
         ("size", "XX", "hetero", args.n, "chrS", False),

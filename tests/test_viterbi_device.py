@@ -59,3 +59,22 @@ def test_heterogeneous_hmm_batch():
     got = viterbi_batch_multi(hmms, queries)
     want = [h.label(q) for h, q in zip(hmms, queries)]
     assert got == want
+
+
+def test_length_bucketed_dispatch_identical():
+    """Mixed short/long queries are split into length buckets (so one
+    long allele doesn't pad the whole batch, VERDICT r2 weak #5) —
+    results must be identical to host labeling, in input order."""
+    from trgt_tpu.kernels.viterbi import viterbi_batch_multi
+    rng = random.Random(5)
+    hmms, queries = [], []
+    motif_sets = [[b"CAG"], [b"CAG", b"A"], [b"AAGGC", b"TTA"]]
+    for n_copies in (2, 3, 40, 3, 200, 7, 2, 90):
+        ms = rng.choice(motif_sets)
+        hmms.append(build_hmm(ms))
+        queries.append(random_repeat(rng, ms, n_copies,
+                                     error_rate=0.02))
+    queries[3] = ""          # empty row exercised across buckets
+    got = viterbi_batch_multi(hmms, queries)
+    want = [h.label(q) if q else [] for h, q in zip(hmms, queries)]
+    assert got == want

@@ -14,11 +14,21 @@ _INDEX_BASE = "ATCG"
 def align_batch(backbone: str, seqs: Sequence[str],
                 scoring=(2, 5, 1)) -> List[CigarOps]:
     """Align each seq against the backbone (ref: src/utils/align.rs:14-28,
-    consensus aligner affine(2,5,1))."""
+    consensus aligner affine(2,5,1)). Deduplicated: the alignment is a
+    pure function of (backbone, seq), and deep loci repeat identical
+    read sequences, so each distinct seq is aligned once and the CIGAR
+    shared (identical output to the per-read loop)."""
     mism, gapo, gape = scoring
     bb = backbone.encode()
-    return [align_end_to_end(bb, s.encode(), mism, gapo, gape)[1]
-            for s in seqs]
+    cache = {}
+    out = []
+    for s in seqs:
+        cig = cache.get(s)
+        if cig is None:
+            cig = align_end_to_end(bb, s.encode(), mism, gapo, gape)[1]
+            cache[s] = cig
+        out.append(cig)
+    return out
 
 
 def repair_consensus(reference: str, seqs: Sequence[str],

@@ -33,10 +33,15 @@ _MESH: Optional[Mesh] = None
 
 
 def enable_mesh(n_devices: Optional[int] = None) -> Optional[Mesh]:
-    """Install a 1-D ("data",) mesh over the first n local devices.
-    A 1-device request clears the mesh (single-chip fast path)."""
+    """Install a 1-D ("data",) mesh over the first n LOCAL devices.
+    A 1-device request clears the mesh (single-chip fast path).
+
+    Local (addressable) devices only: catalog shards are the cross-host
+    scaling unit (collective-free, like the reference's independent
+    work items, SURVEY.md §5.8), so under jax.distributed each process
+    meshes over its own chips and `device_put` stays addressable."""
     global _MESH
-    devices = jax.devices()
+    devices = jax.local_devices()
     n = len(devices) if n_devices is None else n_devices
     if n <= 1:
         _MESH = None
