@@ -53,3 +53,24 @@ def test_pipeline_targeted_preset(example_dir):
     batched = list(pipeline.process(iter(loci), bam))
     ref_result = analyze_tr(loci[0], params, bam)
     assert _summarize(batched[0][1]) == _summarize(ref_result)
+
+
+def test_pipeline_threads_identical(example_dir):
+    """--threads fans out extraction + host span DP + host consensus
+    aligns (GIL-releasing numpy); outputs must be identical to the
+    single-threaded host run."""
+    fa = FastaReader(os.path.join(example_dir, "reference.fasta"))
+    params = Params(min_flank_id_frac=0.7, min_read_qual=0.98,
+                    search_flank_len=250, max_depth=250,
+                    aln_scoring=TrgtScoring(2, 5, 1))
+    loci = list(iter_loci(os.path.join(example_dir, "repeat.bed"), fa,
+                          Karyotype.new("XX"), 250, Genotyper.CLUSTER))
+    bam_path = os.path.join(example_dir, "sample.bam")
+    single = BatchPipeline(params, use_device=False, num_threads=1)
+    multi = BatchPipeline(params, use_device=False, num_threads=4,
+                          bam_factory=lambda: BamReader(bam_path))
+    got1 = [(lid.id, _summarize(res)) for lid, res in
+            single.process(iter(loci), BamReader(bam_path))]
+    got4 = [(lid.id, _summarize(res)) for lid, res in
+            multi.process(iter(loci), BamReader(bam_path))]
+    assert got1 == got4

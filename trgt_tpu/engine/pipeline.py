@@ -252,12 +252,22 @@ class BatchPipeline:
             return flank_align_batch_multi(patterns, texts, sc.mism_scr,
                                            sc.gapo_scr, sc.gape_scr)
         from ..kernels.align_host import align_ends_free_text
-        out = []
-        for p, t in zip(patterns, texts):
+
+        def one(pt):
+            p, t = pt
             score, matches, _, tspan = align_ends_free_text(
                 p, t, sc.mism_scr, sc.gapo_scr, sc.gape_scr)
-            out.append((score, matches, tspan))
-        return out
+            return (score, matches, tspan)
+
+        items = list(zip(patterns, texts))
+        # numpy row passes release the GIL, so --threads speeds the
+        # host-path span DP (the reference's per-read rayon par_iter,
+        # span_locater.rs:8)
+        if self.num_threads > 1 and len(items) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                return list(pool.map(one, items))
+        return [one(it) for it in items]
 
     def _finish_spans(self, st, spans):
         # ref: tr.rs:111-170 (filters, sort by TR length, downsample)
@@ -454,10 +464,33 @@ class BatchPipeline:
 
     def _consensus_aligner(self):
         """Batched device consensus aligner (ref: utils/align.rs affine
-        2,5,1); host Gotoh fallback."""
+        2,5,1); host Gotoh fallback (threaded: the DP's numpy row passes
+        release the GIL, like the reference's utils/align.rs par_iter)."""
         from ..genotype import consensus
         if not self.use_device:
-            return consensus.align_batch
+            if self.num_threads <= 1:
+                return consensus.align_batch
+
+            def threaded_aligner(backbone, seqs, scoring=(2, 5, 1)):
+                mism, gapo, gape = scoring
+                bb = backbone.encode()
+                from ..kernels.align_host import align_end_to_end
+                uniq = list(dict.fromkeys(seqs))
+                if len(uniq) > 4:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(self.num_threads) as pool:
+                        cigs = list(pool.map(
+                            lambda s: align_end_to_end(
+                                bb, s.encode(), mism, gapo, gape)[1],
+                            uniq))
+                else:
+                    cigs = [align_end_to_end(bb, s.encode(), mism,
+                                             gapo, gape)[1]
+                            for s in uniq]
+                by_seq = dict(zip(uniq, cigs))
+                return [by_seq[s] for s in seqs]
+
+            return threaded_aligner
 
         def device_aligner(backbone, seqs):
             # deduplicate: alignment is a pure function of the pair, and

@@ -43,6 +43,16 @@ def dryrun(n_devices: int) -> None:
     verify it reproduces the host-path output byte-for-byte."""
     from ..utils.synth import SynthLocus, make_dataset
 
+    # the dry run executes on the virtual-device CPU backend; loading
+    # persistent-cache entries compiled on a different machine spams
+    # XLA:CPU AOT machine-feature warnings that would mask a real error
+    # in the driver tail — CPU compiles are cheap, skip the cache
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:
+        pass
+
     loci = [
         SynthLocus("HOM", "CAG", 15, (15, 15)),
         SynthLocus("HET", "CAG", 10, (10, 20)),
