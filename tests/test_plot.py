@@ -114,3 +114,39 @@ def test_plot_pdf_vector(genotyped, tmp_path):
     assert "0.07 0.51 0.78 rg" in content
     # no embedded raster images
     assert b"/Image" not in data and b"/DCTDecode" not in data
+
+
+def test_plot_pdf_embedded_font(genotyped, tmp_path):
+    """When a system monospace TTF exists the PDF embeds it whole
+    (FontFile2 + TrueType descriptor with real metrics) instead of
+    relying on base-14 Courier (ref: pipeplot bundles RobotoMono-Bold,
+    crates/pipeplot/src/common.rs:3-10)."""
+    from trgt_tpu.plot import vector_pdf
+    if vector_pdf._load_ttf() is None:
+        import pytest
+        pytest.skip("no system TTF available")
+    example_dir = "/root/reference/example"
+    out = str(tmp_path / "allele_font.pdf")
+    rc = main([
+        "plot",
+        "--genome", os.path.join(example_dir, "reference.fasta"),
+        "--repeats", os.path.join(example_dir, "repeat.bed"),
+        "--vcf", genotyped + ".vcf.gz",
+        "--spanning-reads", genotyped + ".spanning.bam",
+        "--repeat-id", "TR1",
+        "--image", out,
+        "--plot-type", "allele",
+    ])
+    assert rc == 0
+    data = open(out, "rb").read()
+    assert b"/FontFile2" in data
+    assert b"/DejaVuSansMono-Bold" in data
+    assert b"/WinAnsiEncoding" in data
+    # the embedded program must round-trip back to a valid sfnt header
+    import re, zlib
+    m = re.search(rb"/Length1 (\d+) /Filter /FlateDecode >>\n"
+                  rb"stream\n(.*?)\nendstream", data, re.S)
+    assert m is not None
+    font = zlib.decompress(m.group(2))
+    assert len(font) == int(m.group(1))
+    assert font[:4] in (b"\x00\x01\x00\x00", b"true")

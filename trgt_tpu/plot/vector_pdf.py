@@ -3,18 +3,73 @@
 Replaces the reference's svg2pdf path (ref: crates/pipeplot/src/pdf.rs)
 without external dependencies: a hand-written PDF 1.4 with one page
 whose content stream mirrors the SVG generator's drawing calls (rects,
-lines, arrow polygons, text). Text uses the base-14 Courier-Bold font
-(monospace, like the bundled RobotoMono), so labels need no font
-embedding and centering is exact (Courier glyphs are 600/1000 units).
+lines, arrow polygons, text).
+
+Text uses an EMBEDDED monospace TrueType font when one is available on
+the system (DejaVuSansMono-Bold — the stand-in for the reference's
+bundled RobotoMono-Bold, crates/pipeplot/src/common.rs:3-10), with
+metrics read from the font's head/hhea/hmtx tables so advance widths
+and centering are exact. The font program is embedded whole (FontFile2,
+FlateDecode) rather than subset — spec-compliant and self-contained at
+the cost of ~0.2MB per file. Without a TTF on disk it falls back to the
+base-14 Courier-Bold (600/1000-unit glyphs, no embedding needed).
 """
 
+import os
+import struct
 import zlib
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from .pipeplot import (DEFAULT_PADDING, DEFAULT_X_SCALE, DEFAULT_Y_SCALE,
                        FontConfig, Pipe, PipePlot)
 
 _COURIER_W = 0.6        # glyph advance as a fraction of font size
+
+_TTF_CANDIDATES = [
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "fonts", "DejaVuSansMono-Bold.ttf"),
+]
+
+
+class _TtfMetrics:
+    """Minimal TrueType metric reader (head/hhea/hmtx tables only —
+    enough for a fixed-pitch font's PDF FontDescriptor + Widths)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        (_ver, num_tables) = struct.unpack_from(">IH", data, 0)
+        tables = {}
+        for i in range(num_tables):
+            tag, _chk, off, length = struct.unpack_from(
+                ">4sIII", data, 12 + 16 * i)
+            tables[tag] = (off, length)
+        head_off = tables[b"head"][0]
+        self.units_per_em = struct.unpack_from(">H", data,
+                                               head_off + 18)[0]
+        xmin, ymin, xmax, ymax = struct.unpack_from(">hhhh", data,
+                                                    head_off + 36)
+        self.bbox = (xmin, ymin, xmax, ymax)
+        hhea_off = tables[b"hhea"][0]
+        self.ascent, self.descent = struct.unpack_from(">hh", data,
+                                                       hhea_off + 4)
+        hmtx_off = tables[b"hmtx"][0]
+        # fixed pitch: every glyph shares the first advance width
+        self.advance = struct.unpack_from(">H", data, hmtx_off)[0]
+
+    def scaled(self, v: float) -> int:
+        return round(v * 1000.0 / self.units_per_em)
+
+
+def _load_ttf() -> Optional[Tuple[bytes, "_TtfMetrics"]]:
+    for path in _TTF_CANDIDATES:
+        try:
+            with open(path, "rb") as fh:
+                data = fh.read()
+            return data, _TtfMetrics(data)
+        except Exception:
+            continue
+    return None
 
 
 def _rgb(color: str) -> Tuple[float, float, float]:
@@ -38,8 +93,9 @@ def _f(x: float) -> str:
 class _Content:
     """Content-stream builder (PDF user space, y flipped from SVG)."""
 
-    def __init__(self, height: float):
+    def __init__(self, height: float, advance: float = _COURIER_W):
         self.h = height
+        self.advance = advance        # glyph advance / font size
         self.ops: List[str] = []
 
     def _y(self, y: float) -> float:
@@ -97,7 +153,7 @@ class _Content:
         self.ops.append("h f Q")
 
     def text(self, x, y, s, size, anchor="start"):
-        width = len(s) * size * _COURIER_W
+        width = len(s) * size * self.advance
         if anchor == "middle":
             x -= width / 2.0
         esc = s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -114,9 +170,10 @@ class _Content:
 class _VectorGen:
     """Mirror of pipeplot.Generator targeting the PDF content stream."""
 
-    def __init__(self, scale, pad):
+    def __init__(self, scale, pad, advance: float = _COURIER_W):
         self.scale = scale
         self.pad = pad
+        self.advance = advance
 
     def to_x(self, x):
         return x * self.scale[0]
@@ -133,7 +190,7 @@ class _VectorGen:
 
     def render(self, plot: PipePlot) -> Tuple[bytes, float, float]:
         w, h = self.dimensions(plot)
-        c = _Content(h)
+        c = _Content(h, advance=self.advance)
         c.rect(0, 0, w, h, "#ffffff")
         font_size = float(str(plot.font.size).replace("px", ""))
         for pipe in plot.pipes:
@@ -211,7 +268,11 @@ def write_pdf(plot: PipePlot, path: str) -> None:
     longest = max((sum(s.width for s in p.segs) for p in plot.pipes),
                   default=0)
     x_scale = DEFAULT_X_SCALE / longest if longest else 1.0
-    gen = _VectorGen((x_scale, DEFAULT_Y_SCALE), DEFAULT_PADDING)
+    ttf = _load_ttf()
+    advance = (ttf[1].advance / ttf[1].units_per_em) if ttf \
+        else _COURIER_W
+    gen = _VectorGen((x_scale, DEFAULT_Y_SCALE), DEFAULT_PADDING,
+                     advance=advance)
     stream, w, h = gen.render(plot)
     compressed = zlib.compress(stream, 6)
 
@@ -226,10 +287,37 @@ def write_pdf(plot: PipePlot, path: str) -> None:
     objects.append(
         (f"<< /Length {len(compressed)} /Filter /FlateDecode >>\n"
          ).encode("latin-1") + b"stream\n" + compressed + b"\nendstream")
-    objects.append(b"<< /Type /Font /Subtype /Type1 "
-                   b"/BaseFont /Courier-Bold >>")
+    if ttf is None:
+        objects.append(b"<< /Type /Font /Subtype /Type1 "
+                       b"/BaseFont /Courier-Bold >>")
+    else:
+        data, m = ttf
+        width_1000 = m.scaled(m.advance)
+        widths = " ".join([str(width_1000)] * (255 - 32 + 1))
+        objects.append(
+            (f"<< /Type /Font /Subtype /TrueType "
+             f"/BaseFont /DejaVuSansMono-Bold /FirstChar 32 "
+             f"/LastChar 255 /Widths [{widths}] "
+             f"/FontDescriptor 8 0 R /Encoding /WinAnsiEncoding >>")
+            .encode("latin-1"))
     objects.append(b"<< /Type /ExtGState /ca 0.9 /CA 0.9 >>")
     objects.append(b"<< /Type /ExtGState /ca 0.25 /CA 0.25 >>")
+    if ttf is not None:
+        data, m = ttf
+        xmin, ymin, xmax, ymax = (m.scaled(v) for v in m.bbox)
+        # Flags: bit 1 FixedPitch + bit 6 Nonsymbolic = 1 + 32
+        objects.append(
+            (f"<< /Type /FontDescriptor /FontName /DejaVuSansMono-Bold "
+             f"/Flags 33 /FontBBox [{xmin} {ymin} {xmax} {ymax}] "
+             f"/ItalicAngle 0 /Ascent {m.scaled(m.ascent)} "
+             f"/Descent {m.scaled(m.descent)} /CapHeight "
+             f"{m.scaled(m.ascent)} /StemV 120 /FontFile2 9 0 R >>")
+            .encode("latin-1"))
+        font_z = zlib.compress(data, 6)
+        objects.append(
+            (f"<< /Length {len(font_z)} /Length1 {len(data)} "
+             f"/Filter /FlateDecode >>\n").encode("latin-1")
+            + b"stream\n" + font_z + b"\nendstream")
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
