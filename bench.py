@@ -212,22 +212,23 @@ def main():
               "host_lps_stride8_committed": host_lps,
               "partial": partial})
 
-    # ladder rung 1: full catalog, default backend (TPU under driver)
-    dev = run_pipeline_subproc(
-        dsdir, "auto", 1, timeout_s=min(_remaining() - 100, 330),
-        warmup=True)
-    if dev is not None:
-        result_line(dev, base_metric, partial=False)
-        signal.alarm(0)
-        return
-
-    # rung 2: stride subset on device — a partial-scale number beats none
-    dev = run_pipeline_subproc(
+    # rung 1: stride subset on device FIRST — cheap (1/8 of the work,
+    # also warms jit/dispatch state in the cache), so a nonzero device
+    # number is locked in immediately even when the tunnel is in one of
+    # its slow phases (stage timings drifted 35s→615s for identical
+    # work in round-3 measurements)
+    stride_dev = run_pipeline_subproc(
         dsdir, "auto", HOST_STRIDE,
-        timeout_s=min(_remaining() - 45, 150), warmup=False)
-    if dev is not None:
-        result_line(dev, base_metric + " [1-in-8 stride subset; full "
-                    "run exceeded budget]", partial=True)
+        timeout_s=min(_remaining() - 120, 240), warmup=False)
+    if stride_dev is not None:
+        result_line(stride_dev, base_metric + " [1-in-8 stride subset]",
+                    partial=True)
+        # rung 2: the full catalog with whatever budget remains; its
+        # line supersedes the partial one if it lands in time
+        full = run_pipeline_subproc(
+            dsdir, "auto", 1, timeout_s=_remaining() - 30, warmup=False)
+        if full is not None:
+            result_line(full, base_metric, partial=False)
         signal.alarm(0)
         return
 

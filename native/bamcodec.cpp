@@ -876,4 +876,292 @@ int trgt_rans_decode(const uint8_t *data, size_t size,
     return 0;
 }
 
+// ---------------- banded affine alignment ----------------
+//
+// Native twin of trgt_tpu/kernels/align_banded.py (the O(n*s) analog
+// of WFA2-lib's wavefronts for the consensus-repair workload, ref:
+// src/utils/align.rs affine 2,5,1; src/wfaligner.rs:5-10). Exactly the
+// same recurrences, band parametrization, optimality certificate, and
+// tie-break rules as the Python implementation — the numpy twin stays
+// the behavioural reference (tests/test_native_align.py fuzz-compares
+// them), this is the speed path (the numpy version pays per-DP-row
+// Python overhead, ~10k rows for expansion alleles).
+//
+// Band: diagonal offsets j-i in [min(0,T-P)-W, max(0,T-P)+W]; lane
+// k = j - i - lo. Traceback bits per cell: HT (2 bits: 0=diag,1=E,2=F),
+// ET, FT packed into one byte.
+
+static const int64_t ALN_INF = (int64_t)1 << 40;
+
+// rc: 0 = certified optimum (score/cigar exact vs the full DP),
+//     1 = certificate failed (score_out = banded score upper bound),
+//    -1 = allocation failure / bad args.
+// ops_out receives CIGAR op chars ('=','X','I','D') in FORWARD order;
+// ops_cap must be >= P + T. *ops_len is the op count.
+int trgt_banded_align(const uint8_t *pat, int64_t P, const uint8_t *txt,
+                      int64_t T, int64_t mism, int64_t gapo, int64_t gape,
+                      int64_t tb, int64_t te, int64_t W,
+                      int64_t *score_out, uint8_t *ops_out,
+                      int64_t ops_cap, int64_t *ops_len) {
+    if (P <= 0 || T <= 0 || gape <= 0 || ops_cap < P + T) return -1;
+    const int64_t lo = (T - P < 0 ? T - P : 0) - W;
+    const int64_t hi = (T - P > 0 ? T - P : 0) + W;
+    const int64_t Wb = hi - lo + 1;
+    int64_t *H_prev = (int64_t *)malloc(sizeof(int64_t) * Wb);
+    int64_t *E_prev = (int64_t *)malloc(sizeof(int64_t) * Wb);
+    int64_t *H_row = (int64_t *)malloc(sizeof(int64_t) * Wb);
+    int64_t *E_row = (int64_t *)malloc(sizeof(int64_t) * Wb);
+    uint8_t *tbk = (uint8_t *)malloc((size_t)(P + 1) * Wb);
+    if (!H_prev || !E_prev || !H_row || !E_row || !tbk) {
+        free(H_prev); free(E_prev); free(H_row); free(E_row); free(tbk);
+        return -1;
+    }
+    // row 0: H[0,j] = gapo + gape*j ('I' run opened at column 1);
+    // HT=2 for j>0, FT(extend)=1 for j>1 — matching the numpy twin
+    for (int64_t k = 0; k < Wb; k++) {
+        int64_t j = lo + k;
+        uint8_t b = 0;
+        if (j < 0 || j > T) {
+            H_prev[k] = ALN_INF;
+        } else if (j == 0) {
+            H_prev[k] = 0;
+        } else {
+            H_prev[k] = gapo + gape * j;
+            b = 2;                       // HT=F
+            if (j > 1) b |= 8;           // FT=extend
+        }
+        E_prev[k] = ALN_INF;
+        tbk[k] = b;
+    }
+    for (int64_t i = 1; i <= P; i++) {
+        uint8_t *tb_row = tbk + (size_t)i * Wb;
+        const int64_t pc = pat[i - 1];
+        const int64_t k0 = -(i + lo);    // lane of column j == 0
+        int64_t f_prev = ALN_INF;        // F[k-1]
+        int64_t hnof_prev = ALN_INF;     // h_no_f[k-1]
+        for (int64_t k = 0; k < Wb; k++) {
+            const int64_t j = i + lo + k;
+            uint8_t bits;
+            int64_t E_k, H_k;
+            if (j < 0 || j > T) {
+                E_k = ALN_INF;
+                H_k = ALN_INF;
+                bits = 0;
+                f_prev = ALN_INF;        // out-of-range: no F chain
+                hnof_prev = ALN_INF;
+            } else {
+                // E: from (i-1, j) = lane k+1 of the previous row
+                const int64_t H_up = (k + 1 < Wb) ? H_prev[k + 1]
+                                                  : ALN_INF;
+                const int64_t E_up = (k + 1 < Wb) ? E_prev[k + 1]
+                                                  : ALN_INF;
+                int64_t e_open = (H_up >= ALN_INF) ? ALN_INF
+                                 : H_up + gapo + gape;
+                int64_t e_ext = (E_up >= ALN_INF) ? ALN_INF
+                                : E_up + gape;
+                uint8_t et = (e_ext < e_open) ? 1 : 0;  // tie -> open
+                E_k = et ? e_ext : e_open;
+                if (k == k0) {           // origin-anchored run only
+                    E_k = tb + gape * i;
+                    et = (i > 1) ? 1 : 0;
+                }
+                // diagonal: (i-1, j-1) is the SAME lane k
+                int64_t diag = ALN_INF;
+                if (j >= 1 && H_prev[k] < ALN_INF)
+                    diag = H_prev[k] + ((txt[j - 1] == pc) ? 0 : mism);
+                int64_t h_no_f = diag < E_k ? diag : E_k;
+                // F: within-row chain; openings use h_no_f (opening
+                // from an F cell is never better than extending)
+                int64_t f_open = (hnof_prev >= ALN_INF) ? ALN_INF
+                                 : hnof_prev + gapo + gape;
+                int64_t f_ext = (f_prev >= ALN_INF) ? ALN_INF
+                                : f_prev + gape;
+                int64_t F_k = f_open < f_ext ? f_open : f_ext;
+                uint8_t ft = (F_k < f_open) ? 1 : 0;    // strict: extend
+                // H: first minimum in [diag, E, F] order
+                uint8_t ht;
+                if (diag <= E_k && diag <= F_k) {
+                    H_k = diag; ht = 0;
+                } else if (E_k <= F_k) {
+                    H_k = E_k; ht = 1;
+                } else {
+                    H_k = F_k; ht = 2;
+                }
+                if (k == k0) {
+                    H_k = E_k; ht = 1;
+                }
+                if (H_k > ALN_INF) H_k = ALN_INF;
+                if (E_k > ALN_INF) E_k = ALN_INF;
+                bits = (uint8_t)(ht | (et << 2) | (ft << 3));
+                f_prev = F_k;
+                hnof_prev = h_no_f;
+            }
+            E_row[k] = E_k;
+            H_row[k] = H_k;
+            tb_row[k] = bits;
+        }
+        int64_t *tmp = H_prev; H_prev = H_row; H_row = tmp;
+        tmp = E_prev; E_prev = E_row; E_row = tmp;
+    }
+    const int64_t k_end = T - P - lo;
+    int64_t score = H_prev[k_end];
+    int64_t layer = tbk[(size_t)P * Wb + k_end] & 3;
+    const int64_t end_d = (E_prev[k_end] >= ALN_INF) ? ALN_INF
+                          : E_prev[k_end] - gapo + te;
+    if (end_d < score) { score = end_d; layer = 1; }
+    *score_out = score;
+    // certificate (see align_banded.py docstring); a band that covers
+    // every diagonal of the matrix IS the full DP — always exact
+    const int64_t c_d = (tb < te ? tb : te) < gapo ? (tb < te ? tb : te)
+                        : gapo;
+    const int64_t dT = T - P >= 0 ? T - P : P - T;
+    const bool full_cover = (lo <= -P) && (hi >= T);
+    if (!full_cover && score >= gapo + c_d + gape * (2 * W + 2 + dT)) {
+        free(H_prev); free(E_prev); free(H_row); free(E_row); free(tbk);
+        return 1;
+    }
+    // traceback (identical rules to the twins)
+    int64_t i = P, k = k_end, n_ops = 0;
+    while (i > 0 || (i + lo + k) > 0) {
+        const int64_t j = i + lo + k;
+        if (n_ops >= ops_cap) break;     // cannot happen; guard anyway
+        const uint8_t bits = tbk[(size_t)i * Wb + k];
+        if (i > 0 && j > 0 && layer == 0) {
+            ops_out[n_ops++] = (pat[i - 1] == txt[j - 1]) ? '=' : 'X';
+            i -= 1;
+            layer = tbk[(size_t)i * Wb + k] & 3;
+        } else if (layer == 1) {
+            const uint8_t ext = (bits >> 2) & 1;
+            ops_out[n_ops++] = 'D';
+            i -= 1;
+            k += 1;
+            layer = ext ? 1 : (tbk[(size_t)i * Wb + k] & 3);
+        } else {
+            const uint8_t ext = (bits >> 3) & 1;
+            ops_out[n_ops++] = 'I';
+            k -= 1;
+            layer = ext ? 2 : (tbk[(size_t)i * Wb + k] & 3);
+        }
+        if (k < 0 || k >= Wb) {          // left the band: impossible
+            free(H_prev); free(E_prev); free(H_row); free(E_row);
+            free(tbk);
+            return -1;
+        }
+    }
+    // forward order
+    for (int64_t a = 0, b = n_ops - 1; a < b; a++, b--) {
+        uint8_t t = ops_out[a]; ops_out[a] = ops_out[b]; ops_out[b] = t;
+    }
+    *ops_len = n_ops;
+    free(H_prev); free(E_prev); free(H_row); free(E_row); free(tbk);
+    return 0;
+}
+
+// Native twin of trgt_tpu/kernels/align_host.align_ends_free_text
+// (span-locater mode: pattern global, text free at both ends; ref:
+// src/trgt/genotype/span_locater.rs:14-27, span recovery semantics
+// src/wfaligner.rs:864-908). Full-matrix DP — the text-free start makes
+// banding inapplicable — but flank patterns are ~250bp so P·T stays
+// small; the win over the numpy twin is the per-row Python overhead.
+// out[6] = {score, n_matches, p_start, p_end, t_start, t_end}.
+int trgt_endsfree_align(const uint8_t *pat, int64_t P, const uint8_t *txt,
+                        int64_t T, int64_t mism, int64_t gapo,
+                        int64_t gape, int64_t *out) {
+    if (P <= 0 || T <= 0) return -1;
+    const int64_t Wc = T + 1;
+    int64_t *H_prev = (int64_t *)malloc(sizeof(int64_t) * Wc);
+    int64_t *E_prev = (int64_t *)malloc(sizeof(int64_t) * Wc);
+    int64_t *H_row = (int64_t *)malloc(sizeof(int64_t) * Wc);
+    int64_t *E_row = (int64_t *)malloc(sizeof(int64_t) * Wc);
+    uint8_t *tbk = (uint8_t *)malloc((size_t)(P + 1) * Wc);
+    if (!H_prev || !E_prev || !H_row || !E_row || !tbk) {
+        free(H_prev); free(E_prev); free(H_row); free(E_row); free(tbk);
+        return -1;
+    }
+    for (int64_t j = 0; j <= T; j++) {    // free text start
+        H_prev[j] = 0;
+        E_prev[j] = ALN_INF;
+        tbk[j] = 0;
+    }
+    for (int64_t i = 1; i <= P; i++) {
+        uint8_t *tb_row = tbk + (size_t)i * Wc;
+        const int64_t pc = pat[i - 1];
+        int64_t f_prev = ALN_INF, hnof_prev = ALN_INF;
+        for (int64_t j = 0; j <= T; j++) {
+            int64_t e_open = (H_prev[j] >= ALN_INF) ? ALN_INF
+                             : H_prev[j] + gapo + gape;
+            int64_t e_ext = (E_prev[j] >= ALN_INF) ? ALN_INF
+                            : E_prev[j] + gape;
+            uint8_t et = (e_ext < e_open) ? 1 : 0;
+            int64_t E_j = et ? e_ext : e_open;
+            if (j == 0) {
+                E_j = gapo + gape * i;
+                et = (i > 1) ? 1 : 0;
+            }
+            int64_t diag = ALN_INF;
+            if (j >= 1 && H_prev[j - 1] < ALN_INF)
+                diag = H_prev[j - 1] + ((txt[j - 1] == pc) ? 0 : mism);
+            int64_t h_no_f = diag < E_j ? diag : E_j;
+            int64_t f_open = (hnof_prev >= ALN_INF) ? ALN_INF
+                             : hnof_prev + gapo + gape;
+            int64_t f_ext = (f_prev >= ALN_INF) ? ALN_INF
+                            : f_prev + gape;
+            int64_t F_j = f_open < f_ext ? f_open : f_ext;
+            uint8_t ft = (F_j < f_open) ? 1 : 0;
+            uint8_t ht;
+            int64_t H_j;
+            if (diag <= E_j && diag <= F_j) { H_j = diag; ht = 0; }
+            else if (E_j <= F_j) { H_j = E_j; ht = 1; }
+            else { H_j = F_j; ht = 2; }
+            if (j == 0) { H_j = E_j; ht = 1; }
+            if (H_j > ALN_INF) H_j = ALN_INF;
+            if (E_j > ALN_INF) E_j = ALN_INF;
+            H_row[j] = H_j;
+            E_row[j] = E_j;
+            tb_row[j] = (uint8_t)(ht | (et << 2) | (ft << 3));
+            f_prev = F_j;
+            hnof_prev = h_no_f;
+        }
+        int64_t *tmp = H_prev; H_prev = H_row; H_row = tmp;
+        tmp = E_prev; E_prev = E_row; E_row = tmp;
+    }
+    int64_t j_end = 0, score = H_prev[0];
+    for (int64_t j = 1; j <= T; j++)      // first minimum wins
+        if (H_prev[j] < score) { score = H_prev[j]; j_end = j; }
+    // traceback from (P, j_end) to row 0; span = first..last M/X column
+    int64_t i = P, j = j_end;
+    int64_t layer = tbk[(size_t)P * Wc + j] & 3;
+    int64_t n_matches = 0;
+    int64_t p_start = -1, p_end = -1, t_start = -1, t_end = -1;
+    while (i > 0) {
+        const uint8_t bits = tbk[(size_t)i * Wc + j];
+        if (j > 0 && layer == 0) {
+            if (pat[i - 1] == txt[j - 1]) n_matches++;
+            if (p_end < 0) { p_end = i; t_end = j; }
+            p_start = i - 1;
+            t_start = j - 1;
+            i -= 1; j -= 1;
+            layer = tbk[(size_t)i * Wc + j] & 3;
+        } else if (layer == 1) {
+            const uint8_t ext = (bits >> 2) & 1;
+            i -= 1;
+            layer = ext ? 1 : (tbk[(size_t)i * Wc + j] & 3);
+        } else {
+            const uint8_t ext = (bits >> 3) & 1;
+            j -= 1;
+            layer = ext ? 2 : (tbk[(size_t)i * Wc + j] & 3);
+        }
+    }
+    out[0] = score;
+    if (p_end < 0) {
+        out[1] = out[2] = out[3] = out[4] = out[5] = 0;
+    } else {
+        out[1] = n_matches;
+        out[2] = p_start; out[3] = p_end;
+        out[4] = t_start; out[5] = t_end;
+    }
+    free(H_prev); free(E_prev); free(H_row); free(E_row); free(tbk);
+    return 0;
+}
+
 }  // extern "C"

@@ -20,6 +20,7 @@ what makes the TPU path win over per-locus dispatch.
 import contextlib
 import logging
 import math
+import os
 import time
 from collections import Counter
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -463,11 +464,25 @@ class BatchPipeline:
                               for ai in range(len(st.allele_seqs))]
 
     def _consensus_aligner(self):
-        """Batched device consensus aligner (ref: utils/align.rs affine
-        2,5,1); host Gotoh fallback (threaded: the DP's numpy row passes
-        release the GIL, like the reference's utils/align.rs par_iter)."""
+        """Consensus-repair aligner (ref: utils/align.rs affine 2,5,1),
+        deduplicated (alignment is a pure function of the pair; deep
+        loci repeat identical read strings) and threaded (the DP's
+        numpy row passes release the GIL, like the reference's
+        utils/align.rs par_iter).
+
+        This stage runs on HOST by default even in device mode: the
+        device e2e kernel must ship a (P+1, B, T+1) direction-bit
+        tensor back for traceback, which measured 0.3 Mcells/s over the
+        remote-TPU tunnel (~50ms/MB + stalls), while the host
+        adaptive-band aligner (align_banded.py) resolves the
+        near-identical repair pairs at >100 Mcells/s-equivalent.
+        TRGT_TPU_CONSENSUS=device restores the device kernel (the right
+        choice when the accelerator is local and transfer is free)."""
         from ..genotype import consensus
-        if not self.use_device:
+        use_device_consensus = (self.use_device and
+                                os.environ.get("TRGT_TPU_CONSENSUS")
+                                == "device")
+        if not use_device_consensus:
             if self.num_threads <= 1:
                 return consensus.align_batch
 
@@ -493,9 +508,6 @@ class BatchPipeline:
             return threaded_aligner
 
         def device_aligner(backbone, seqs):
-            # deduplicate: alignment is a pure function of the pair, and
-            # deep loci repeat identical read strings — align each
-            # distinct seq once, share the CIGAR (identical output)
             from ..kernels.e2e_device import e2e_align_batch
             uniq = list(dict.fromkeys(seqs))
             res = e2e_align_batch(

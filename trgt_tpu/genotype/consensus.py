@@ -34,39 +34,62 @@ def align_batch(backbone: str, seqs: Sequence[str],
 def repair_consensus(reference: str, seqs: Sequence[str],
                      aligns: Sequence[CigarOps]) -> str:
     # ref: consensus.rs:5-72 — per-column base/deletion voting + majority
-    # insertions
-    ref_counts = [[0, 0, 0, 0, 0] for _ in range(len(reference))]
-    ref_inserts: List[List[str]] = [[] for _ in range(len(reference) + 1)]
-    for seq_index, operations in enumerate(aligns):
-        seq = seqs[seq_index]
+    # insertions. Vectorized: votes accumulate as numpy masked adds per
+    # CIGAR run (sequential memory ops — fast on every machine), and
+    # identical (seq, cigar) pairs are counted once with multiplicity
+    # (alignment is pure, so deep loci's repeated reads share votes);
+    # both changes are exact re-expressions of the per-base loop.
+    import numpy as np
+
+    R = len(reference)
+    counts = np.zeros((R, 5), dtype=np.int64)
+    ref_inserts: List[List[str]] = [[] for _ in range(R + 1)]
+
+    groups: dict = {}
+    for seq, operations in zip(seqs, aligns):
+        key = (seq, id(operations))
+        if key in groups:
+            groups[key][2] += 1
+        else:
+            groups[key] = [seq, operations, 1]
+
+    for seq, operations, mult in groups.values():
+        seq_b = np.frombuffer(seq.encode(), dtype=np.uint8)
         x_pos = 0
         y_pos = 0
         for op_len, op in operations:
             if op in ("=", "M", "X"):
-                piece = seq[x_pos:x_pos + op_len]
-                for offset, base in enumerate(piece.encode()):
-                    ref_counts[y_pos + offset][_BASE_INDEX[base]] += 1
+                chunk = seq_b[x_pos:x_pos + op_len]
+                rows = counts[y_pos:y_pos + op_len]
+                seen = np.zeros(op_len, dtype=bool)
+                for col, code in enumerate((65, 84, 67, 71)):  # A T C G
+                    m = chunk == code
+                    rows[:, col] += m * mult
+                    seen |= m
+                if not seen.all():
+                    # parity with the dict-lookup loop: non-ATCG bases
+                    # are a caller bug and must raise, not miscount
+                    raise KeyError(int(chunk[~seen][0]))
                 x_pos += op_len
                 y_pos += op_len
             elif op == "D":
-                for offset in range(op_len):
-                    ref_counts[y_pos + offset][4] += 1
+                counts[y_pos:y_pos + op_len, 4] += mult
                 y_pos += op_len
             elif op == "I":
-                ref_inserts[y_pos].append(seq[x_pos:x_pos + op_len])
+                ref_inserts[y_pos].extend(
+                    [seq[x_pos:x_pos + op_len]] * mult)
                 x_pos += op_len
             else:
                 raise ValueError(f"Unexpected CIGAR operation: {op}")
 
-    consensus_indexes = []
-    for rec in ref_counts:
-        best = max(range(5), key=lambda k: rec[k])
-        consensus_indexes.append(best)
+    # first maximum wins, matching max(range(5), key=...) semantics
+    consensus_indexes = np.argmax(counts, axis=1)
 
     consensus = []
-    for ref_pos, base_index in enumerate(consensus_indexes):
+    for ref_pos in range(R):
         if len(ref_inserts[ref_pos]) > len(seqs) // 2:
             consensus.append(_ins_consensus(ref_inserts[ref_pos], len(seqs)))
+        base_index = consensus_indexes[ref_pos]
         if base_index != 4:
             consensus.append(_INDEX_BASE[base_index])
     return "".join(consensus)

@@ -71,6 +71,19 @@ def get_lib():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_size_t)]
         lib.trgt_rans_decode.restype = ctypes.c_int
+        lib.trgt_banded_align.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.trgt_banded_align.restype = ctypes.c_int
+        lib.trgt_endsfree_align.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+        lib.trgt_endsfree_align.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -137,3 +150,43 @@ def decode_seq(packed: bytes, l_seq: int):
     out = ctypes.create_string_buffer(l_seq)
     lib.trgt_decode_seq(src, l_seq, out)
     return out.raw.decode("ascii")
+
+
+def banded_align(pattern: bytes, text: bytes, mism: int, gapo: int,
+                 gape: int, tb: int, te: int, W: int):
+    """One native banded-alignment pass (native twin of
+    kernels/align_banded._banded_pass + traceback). Returns
+    (rc, score, ops_bytes): rc 0 = certified (ops valid), 1 =
+    certificate failed (score is the banded upper bound), None if the
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    score = ctypes.c_int64()
+    ops_cap = len(pattern) + len(text)
+    ops = ctypes.create_string_buffer(ops_cap)
+    ops_len = ctypes.c_int64()
+    rc = lib.trgt_banded_align(
+        pattern, len(pattern), text, len(text), mism, gapo, gape,
+        tb, te, W, ctypes.byref(score), ops, ops_cap,
+        ctypes.byref(ops_len))
+    if rc == -1:
+        return None
+    return rc, score.value, ops.raw[:ops_len.value]
+
+
+def endsfree_align(pattern: bytes, text: bytes, mism: int, gapo: int,
+                   gape: int):
+    """Native ends-free alignment (twin of
+    kernels/align_host.align_ends_free_text). Returns
+    (score, n_matches, (p_start, p_end), (t_start, t_end)) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = (ctypes.c_int64 * 6)()
+    rc = lib.trgt_endsfree_align(pattern, len(pattern), text, len(text),
+                                 mism, gapo, gape, out)
+    if rc != 0:
+        return None
+    return (int(out[0]), int(out[1]), (int(out[2]), int(out[3])),
+            (int(out[4]), int(out[5])))

@@ -100,6 +100,11 @@ def align_end_to_end(pattern: bytes, text: bytes, mism: int, gapo: int,
     start/end boundary (Myers-Miller recursion leaves; default gapo).
     """
     P, T = len(pattern), len(text)
+    if P and T:
+        native = _native_end_to_end(pattern, text, mism, gapo, gape,
+                                    tb, te)
+        if native is not None:
+            return native
     if P and T and P * T > BANDED_MIN_CELLS:
         from .align_banded import align_end_to_end_banded
         banded = align_end_to_end_banded(pattern, text, mism, gapo, gape,
@@ -111,6 +116,47 @@ def align_end_to_end(pattern: bytes, text: bytes, mism: int, gapo: int,
         return align_end_to_end_linear(pattern, text, mism, gapo, gape)
     return align_end_to_end_quadratic(pattern, text, mism, gapo, gape,
                                       tb=tb, te=te)
+
+
+# traceback bytes cap for the native banded aligner ((P+1)·Wb cells,
+# 1 byte each); past this the Myers-Miller linear path takes over
+_NATIVE_TB_BYTES = 400 * 1024 * 1024
+
+
+def _native_end_to_end(pattern: bytes, text: bytes, mism: int, gapo: int,
+                       gape: int, tb: Optional[int],
+                       te: Optional[int]) -> Optional[Tuple[int, CigarOps]]:
+    """Native (C++) adaptive-band pass with the SAME recurrences,
+    certificate, and tie rules as align_banded.py / the quadratic DP
+    (native/bamcodec.cpp trgt_banded_align; fuzz-equality enforced by
+    tests/test_native_align.py). A band that grows to cover the whole
+    matrix IS the full DP, so this path serves small pairs too — at C
+    speed instead of numpy-row speed."""
+    if gape <= 0:
+        return None
+    from ..io import native
+    if native.get_lib() is None:
+        return None
+    P, T = len(pattern), len(text)
+    tb_v = gapo if tb is None else tb
+    te_v = gapo if te is None else te
+    c_d = min(gapo, tb_v, te_v)
+    W = 32
+    while True:
+        Wb = abs(T - P) + 2 * W + 1
+        if (P + 1) * Wb > _NATIVE_TB_BYTES:
+            return None                    # huge + divergent: linear path
+        res = native.banded_align(pattern, text, mism, gapo, gape,
+                                  tb_v, te_v, W)
+        if res is None:
+            return None
+        rc, score, ops = res
+        if rc == 0:
+            return score, _compress_ops(ops.decode("latin-1"))
+        # jump straight to the certifying slack (the failed pass's score
+        # upper-bounds the true score; see align_banded.py)
+        need = (score - gapo - c_d) // gape - abs(T - P) - 2
+        W = max(2 * W, need // 2 + 1)
 
 
 def align_end_to_end_quadratic(pattern: bytes, text: bytes, mism: int,
@@ -233,6 +279,11 @@ def align_ends_free_text(pattern: bytes, text: bytes, mism: int, gapo: int,
     P, T = len(pattern), len(text)
     if P == 0 or T == 0:
         return 0, 0, (0, 0), (0, 0)
+    from ..io import native
+    if native.get_lib() is not None:
+        res = native.endsfree_align(pattern, text, mism, gapo, gape)
+        if res is not None:
+            return res
     sub = _sub_matrix(pattern, text, mism)
 
     H = np.full((P + 1, T + 1), INF, dtype=np.int64)
