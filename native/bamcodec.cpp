@@ -9,6 +9,7 @@
 
 #include <algorithm>
 #include <cctype>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -1161,6 +1162,133 @@ int trgt_endsfree_align(const uint8_t *pat, int64_t P, const uint8_t *txt,
         out[4] = t_start; out[5] = t_end;
     }
     free(H_prev); free(E_prev); free(H_row); free(E_row); free(tbk);
+    return 0;
+}
+
+// ---------------- HMM Viterbi (host twin) ----------------
+//
+// Native twin of trgt_tpu/hmm/model.Hmm.label (ref: the reference
+// Viterbi at src/hmm/hmm_model.rs:54-156): dense in-edge tables, silent
+// states resolved level-by-level within a column, '#'-sentinel query
+// already encoded by the caller. Double-precision adds match numpy
+// bit-for-bit; ties take the FIRST maximal in-edge (strict >), like
+// np.argmax / the reference's iteration order.
+//
+// rc: 0 ok, 1 = traceback failed (no valid path), -1 = alloc/args.
+int trgt_hmm_label(int64_t S, int64_t E, int64_t L,
+                   const int32_t *in_idx, const double *in_lp,
+                   const double *em,           // (S, 5)
+                   const uint8_t *silent, const uint8_t *has_edges,
+                   int64_t n_levels, const int32_t *level_off,
+                   const int32_t *level_states,
+                   const int32_t *sym,         // (L,) 0..4
+                   int32_t *out_path, int64_t out_cap,
+                   int64_t *out_len) {
+    if (S <= 0 || L <= 0 || E <= 0) return -1;
+    const double NEGI = -INFINITY;
+    double *scores = (double *)malloc(sizeof(double) * (size_t)L * S);
+    int32_t *preds = (int32_t *)malloc(sizeof(int32_t) * (size_t)L * S);
+    uint8_t *valid = (uint8_t *)calloc((size_t)L * S, 1);
+    if (!scores || !preds || !valid) {
+        free(scores); free(preds); free(valid);
+        return -1;
+    }
+    double *col = scores;            // row views
+    int32_t *colp = preds;
+    uint8_t *colv = valid;
+    // position 0: edge-less emitting states seed with their emission
+    for (int64_t s = 0; s < S; s++) {
+        col[s] = NEGI;
+        colp[s] = 0;
+        if (!silent[s] && !has_edges[s]) {
+            double e0 = em[s * 5 + sym[0]];
+            if (e0 != NEGI) {
+                col[s] = e0;
+                colp[s] = (int32_t)s;
+                colv[s] = 1;
+            }
+        }
+    }
+    for (int64_t lv = 0; lv < n_levels; lv++) {
+        for (int32_t q = level_off[lv]; q < level_off[lv + 1]; q++) {
+            const int64_t s = level_states[q];
+            double best = NEGI;
+            int64_t bp = -1;
+            for (int64_t e = 0; e < E; e++) {
+                const double lp = in_lp[s * E + e];
+                const int32_t p = in_idx[s * E + e];
+                const double v = col[p] + lp;
+                if (v > best) { best = v; bp = p; }
+            }
+            if (bp >= 0) {
+                col[s] = best;
+                colp[s] = (int32_t)bp;
+                colv[s] = 1;
+            }
+        }
+    }
+    for (int64_t i = 1; i < L; i++) {
+        const double *prev = scores + (size_t)(i - 1) * S;
+        col = scores + (size_t)i * S;
+        colp = preds + (size_t)i * S;
+        colv = valid + (size_t)i * S;
+        const int64_t symi = sym[i];
+        for (int64_t s = 0; s < S; s++) {
+            double best = NEGI;
+            int64_t be = 0;
+            for (int64_t e = 0; e < E; e++) {
+                const double v = prev[in_idx[s * E + e]]
+                                 + in_lp[s * E + e];
+                if (v > best) { best = v; be = e; }
+            }
+            const int32_t bp = in_idx[s * E + be];
+            double c = silent[s] ? NEGI : best + em[s * 5 + symi];
+            col[s] = c;
+            colp[s] = bp;
+            colv[s] = (!silent[s] && has_edges[s] && c > NEGI) ? 1 : 0;
+        }
+        for (int64_t lv = 0; lv < n_levels; lv++) {
+            for (int32_t q = level_off[lv]; q < level_off[lv + 1]; q++) {
+                const int64_t s = level_states[q];
+                double best = NEGI;
+                int64_t bp = -1;
+                for (int64_t e = 0; e < E; e++) {
+                    const double v = col[in_idx[s * E + e]]
+                                     + in_lp[s * E + e];
+                    if (v > best) { best = v; bp = in_idx[s * E + e]; }
+                }
+                if (bp >= 0) {
+                    col[s] = best;
+                    colp[s] = (int32_t)bp;
+                    colv[s] = 1;
+                }
+            }
+        }
+    }
+    // traceback (ref: hmm_model.rs:125-142)
+    int64_t state = S - 1, index = L - 1, n = 0;
+    while (state != 0) {
+        if (n >= out_cap || index < 0 ||
+            !valid[(size_t)index * S + state]) {
+            free(scores); free(preds); free(valid);
+            return 1;
+        }
+        out_path[n++] = (int32_t)state;
+        const int32_t prev_state = preds[(size_t)index * S + state];
+        if (!silent[state]) index -= 1;
+        state = prev_state;
+    }
+    if (n >= out_cap) {
+        free(scores); free(preds); free(valid);
+        return 1;
+    }
+    out_path[n++] = 0;
+    for (int64_t a = 0, b = n - 1; a < b; a++, b--) {
+        int32_t t = out_path[a]; out_path[a] = out_path[b];
+        out_path[b] = t;
+    }
+    *out_len = n;
+    free(scores); free(preds); free(valid);
     return 0;
 }
 

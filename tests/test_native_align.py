@@ -171,3 +171,43 @@ def test_endsfree_no_relation():
         got = align_ends_free_text(a, b, 2, 5, 1)
         want = _numpy_ends_free(a, b, (2, 5, 1))
         assert got == want
+
+
+def _numpy_label(hmm, q):
+    from unittest import mock
+    with mock.patch.object(native, "get_lib", return_value=None):
+        return hmm.label(q)
+
+
+def test_hmm_label_native_twin():
+    """Native Viterbi == numpy label on random repeat queries across
+    heterogeneous topologies (multi-motif, single-base, long)."""
+    from trgt_tpu.hmm import build_hmm
+    rng = random.Random(41)
+    motif_sets = [[b"CAG"], [b"A"], [b"CAG", b"CAA"],
+                  [b"AAGGCTT", b"TG"], [b"CCATTTTAGG", b"T", b"GATA"]]
+    for ms in motif_sets:
+        hmm = build_hmm(ms)
+        for n_copies in (1, 3, 25, 120):
+            seq = []
+            for _ in range(n_copies):
+                m = rng.choice(ms).decode()
+                for ch in m:
+                    r = rng.random()
+                    if r < 0.02:
+                        continue
+                    seq.append(rng.choice("ACGT") if r < 0.05 else ch)
+            q = "".join(seq)
+            if not q:
+                continue
+            assert hmm.label(q) == _numpy_label(hmm, q), (ms, n_copies)
+
+
+def test_hmm_label_native_twin_invalid_path():
+    """Both paths raise on a query no path can emit... all bases are
+    emittable via the skip block, so instead check empty-query parity
+    and the '#' sentinel handling on a minimal query."""
+    from trgt_tpu.hmm import build_hmm
+    hmm = build_hmm([b"CAG"])
+    assert hmm.label("") == []
+    assert hmm.label("C") == _numpy_label(hmm, "C")

@@ -127,6 +127,33 @@ class Hmm:
                                [len(x) > 0 for x in self.in_states]))
         return self._dense
 
+    def _native_tables(self):
+        """Flat-array views of dense_tables for the native C twin
+        (native/bamcodec.cpp trgt_hmm_label); cached per instance."""
+        cached = getattr(self, "_native_dense", None)
+        if cached is not None:
+            return cached
+        t = self.dense_tables()
+        levels = t["silent_levels"]
+        level_states = np.array([s for lv in levels for s in lv],
+                                dtype=np.int32)
+        level_off = np.zeros(len(levels) + 1, dtype=np.int32)
+        for i, lv in enumerate(levels):
+            level_off[i + 1] = level_off[i] + len(lv)
+        tables = dict(
+            S=self.num_states, E=t["in_idx"].shape[1],
+            in_idx=np.ascontiguousarray(t["in_idx"], dtype=np.int32),
+            in_lp=np.ascontiguousarray(t["in_lp"], dtype=np.float64),
+            em=np.ascontiguousarray(t["em"], dtype=np.float64),
+            silent=np.ascontiguousarray(t["silent"], dtype=np.uint8),
+            has_edges=np.ascontiguousarray(t["has_edges"],
+                                           dtype=np.uint8),
+            n_levels=len(levels), level_off=level_off,
+            level_states=level_states,
+        )
+        self._native_dense = tables
+        return tables
+
     # ---- Viterbi (ref: hmm_model.rs:54-156) ----
     def label(self, query: str) -> List[int]:
         """Return the Viterbi state path for '#'+query+'#'."""
@@ -134,6 +161,15 @@ class Hmm:
             return []
         sym = np.array([encode_base(b) for b in ("#" + query + "#").encode()],
                        dtype=np.int32)
+        from ..io import native
+        if native.get_lib() is not None:
+            # native twin (double-precision adds + first-max ties match
+            # the numpy path bit-for-bit; tests/test_native_align.py)
+            cap = len(sym) * (len(self.dense_tables()["silent_levels"])
+                              + 2) + 8
+            path = native.hmm_label(self._native_tables(), sym, cap)
+            if path is not None:
+                return path
         t = self.dense_tables()
         S = self.num_states
         L = len(sym)

@@ -84,6 +84,19 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
         lib.trgt_endsfree_align.restype = ctypes.c_int
+        lib.trgt_hmm_label.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.trgt_hmm_label.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -190,3 +203,35 @@ def endsfree_align(pattern: bytes, text: bytes, mism: int, gapo: int,
         return None
     return (int(out[0]), int(out[1]), (int(out[2]), int(out[3])),
             (int(out[4]), int(out[5])))
+
+
+def hmm_label(tables: dict, sym, out_cap: int):
+    """Native HMM Viterbi labeling (twin of hmm/model.Hmm.label).
+    `tables` is the flat-array dict prepared by Hmm._native_tables();
+    sym is the encoded '#'+query+'#' int32 array. Returns the state
+    path list, raises ValueError on traceback failure, or returns None
+    if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+    L = len(sym)
+    out = np.empty(out_cap, dtype=np.int32)
+    out_len = ctypes.c_int64()
+    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    rc = lib.trgt_hmm_label(
+        tables["S"], tables["E"], L,
+        i32p(tables["in_idx"]),
+        tables["in_lp"].ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        tables["em"].ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        tables["silent"].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        tables["has_edges"].ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)),
+        tables["n_levels"], i32p(tables["level_off"]),
+        i32p(tables["level_states"]), i32p(sym), i32p(out), out_cap,
+        ctypes.byref(out_len))
+    if rc == -1:
+        return None
+    if rc == 1:
+        raise ValueError("HMM traceback failed (no valid path)")
+    return out[:out_len.value].tolist()
