@@ -48,6 +48,14 @@ def _use_pallas() -> bool:
             and os.environ.get("TRGT_TPU_KERNELS", "pallas") == "pallas")
 
 
+def _po2(n: int, minimum: int) -> int:
+    """Smallest power of two ≥ max(n, minimum)."""
+    v = minimum
+    while v < n:
+        v *= 2
+    return v
+
+
 @functools.partial(jax.jit, static_argnames=("mism", "gapo", "gape",
                                              "use_ladder", "row_block"))
 def _semiglobal_scan(pattern_toks, text_toks, mism: int, gapo: int,
@@ -242,11 +250,26 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
         return []
     assert len(patterns) == len(seqs)
     global _PALLAS_BROKEN
+    # group by text-length bucket so short texts don't pad to the
+    # longest (on a heterogeneous catalog the clipped reads span
+    # ~0.5kb-12kb; without bucketing the padded-cell waste measured
+    # ~15x, costing far more than the extra per-bucket dispatches even
+    # over the high-latency tunnel). Buckets are powers of two with a
+    # 512 floor: waste ≤2x while the distinct compile-shape count stays
+    # small (each new Mosaic shape costs ~2min over the tunnel).
+    buckets = {}
+    for i, s in enumerate(seqs):
+        buckets.setdefault(_po2(len(s) + 1, 512), []).append(i)
+    if len(buckets) > 1:
+        out = [None] * len(seqs)
+        for _tb, idxs in sorted(buckets.items()):
+            sub = flank_align_batch_multi(
+                [patterns[i] for i in idxs], [seqs[i] for i in idxs],
+                mism, gapo, gape)
+            for i, r in zip(idxs, sub):
+                out[i] = r
+        return out
     if _use_pallas():
-        # ONE dispatch for the whole request: over the remote-TPU tunnel
-        # a dispatch costs ~90ms FIXED (transfer RTTs) while the kernel
-        # itself runs ~1ms, so text-length bucketing (which multiplies
-        # dispatches to save padded compute) is exactly backwards here.
         from .semiglobal_pallas import flank_align_leaf_pallas
         try:
             out = []
@@ -259,19 +282,6 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
             _PALLAS_BROKEN = True
             log.warning("Pallas flank kernel failed (%s); using the XLA "
                         "kernel for the rest of the run", e)
-    # group by text-length bucket so short texts don't pad to the longest
-    buckets = {}
-    for i, s in enumerate(seqs):
-        buckets.setdefault(_bucket(len(s)), []).append(i)
-    if len(buckets) > 1:
-        out = [None] * len(seqs)
-        for _tb, idxs in sorted(buckets.items()):
-            sub = flank_align_batch_multi(
-                [patterns[i] for i in idxs], [seqs[i] for i in idxs],
-                mism, gapo, gape)
-            for i, r in zip(idxs, sub):
-                out[i] = r
-        return out
     if len(seqs) > 512:
         out = []
         for lo, hi in chunk_ranges(len(seqs)):

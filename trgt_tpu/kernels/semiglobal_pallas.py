@@ -288,13 +288,15 @@ def flank_align_leaf_pallas(patterns, seqs, mism: int, gapo: int,
         interpret = jax.default_backend() != "tpu"
     from .. import mesh as _mesh
     from . import telemetry
+    from .semiglobal import _po2
     plen = max(len(p) for p in patterns)
-    # bucket then lane-align so the distinct compile-shape count stays
-    # ~2·log2(range) (first compile over the tunnel costs ~2s/shape)
+    # power-of-two shapes with coarse floors: each new Mosaic shape
+    # costs ~2min of remote compile (round-3 tunnel), so the shape
+    # lattice is kept small (callers group texts into the same po2
+    # buckets, so W here equals the caller's bucket key)
     Pp = _round_up(_bucket(plen, minimum=128), 128)
-    W = _round_up(_bucket(max(len(s) for s in seqs) + 1, minimum=128), 128)
-    B = _mesh.batch_bucket(len(seqs),
-                           minimum=8 * _mesh.batch_multiple())
+    W = _po2(max(len(s) for s in seqs) + 1, 512)
+    B = _mesh.round_up_batch(_po2(len(seqs), 8))
     telemetry.add_cells("span", B * Pp * W)
     pattern_toks = np.zeros((B, Pp), dtype=np.uint8)
     text_toks = np.zeros((B, W), dtype=np.uint8)
