@@ -269,7 +269,11 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
             for i, r in zip(idxs, sub):
                 out[i] = r
         return out
-    if _use_pallas():
+    # the Pallas kernel's VMEM budget tops out at W=8192 (the fori-loop
+    # carry holds 8 f32 rows + double-buffered inputs; W=16384 blows the
+    # 16MB scoped limit even at the minimum block) — the rare >8kb-read
+    # bucket runs on the XLA kernel instead
+    if _use_pallas() and _po2(max(len(s) for s in seqs) + 1, 512) <= 8192:
         from .semiglobal_pallas import flank_align_leaf_pallas
         try:
             out = []
