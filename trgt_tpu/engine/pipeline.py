@@ -93,6 +93,14 @@ class BatchPipeline:
         self.params = params
         self.batch_size = batch_size
         self.use_device = use_device
+        # Hedged dispatch: the remote-TPU link oscillates between full
+        # capability and ~100x-slower stall episodes (round-3 NOTES), so
+        # each device stage gets a deadline scaled from the host twin's
+        # cost; past it the SAME work is computed on the byte-identical
+        # host path and the device is latched off for the rest of the
+        # run. Disable with TRGT_TPU_HEDGE=0 (e.g. kernel benchmarking).
+        self.hedge = os.environ.get("TRGT_TPU_HEDGE", "1") != "0"
+        self._device_off = False
         self.num_threads = max(1, num_threads)
         # per-thread BAM readers (the reference's thread-local readers,
         # ref commands/genotype.rs:35-64); BGZF inflate releases the GIL
@@ -110,6 +118,42 @@ class BatchPipeline:
             bam = self.bam_factory()
             self._tls.bam = bam
         return bam
+
+    def _hedged(self, stage: str, device_fn, host_fn, deadline_s: float):
+        """Run device_fn with a deadline; on timeout compute host_fn
+        instead (outputs are byte-identical by construction — enforced
+        by the concordance suite) and turn the device off for the rest
+        of the run. The abandoned device call keeps its daemon thread
+        until the link unwedges; no further dispatches will queue
+        behind it."""
+        if not self.use_device or self._device_off:
+            return host_fn()
+        if not self.hedge:
+            return device_fn()
+        import jax
+        if jax.default_backend() != "tpu":
+            # CPU/virtual-mesh runs (tests, multichip dryrun) must
+            # actually exercise the device path — no link to hedge
+            return device_fn()
+        if not getattr(self, "_hedge_warm", False):
+            # first device call carries jit/backend init and possible
+            # compile-cache loads — grant a one-time grace
+            self._hedge_warm = True
+            deadline_s += 90.0
+        import concurrent.futures as cf
+        ex = cf.ThreadPoolExecutor(1)
+        fut = ex.submit(device_fn)
+        try:
+            return fut.result(timeout=deadline_s)
+        except cf.TimeoutError:
+            log.warning(
+                "device %s stage exceeded its %.1fs hedge deadline "
+                "(link stall?); computing on host and disabling the "
+                "device path for the rest of the run", stage, deadline_s)
+            self._device_off = True
+            return host_fn()
+        finally:
+            ex.shutdown(wait=False)
 
     def process(self, loci, bam):
         """Yields (locus, LocusResult) in input order, batch by batch.
@@ -247,28 +291,34 @@ class BatchPipeline:
             self._finish_spans(st, spans)
 
     def _align_misses(self, patterns, texts, sc):
-        if self.use_device:
+        def device_fn():
             # Pallas-vs-XLA selection lives inside the kernel module
             from ..kernels.semiglobal import flank_align_batch_multi
             return flank_align_batch_multi(patterns, texts, sc.mism_scr,
                                            sc.gapo_scr, sc.gape_scr)
-        from ..kernels.align_host import align_ends_free_text
 
-        def one(pt):
-            p, t = pt
-            score, matches, _, tspan = align_ends_free_text(
-                p, t, sc.mism_scr, sc.gapo_scr, sc.gape_scr)
-            return (score, matches, tspan)
+        def host_fn():
+            from ..kernels.align_host import align_ends_free_text
 
-        items = list(zip(patterns, texts))
-        # numpy row passes release the GIL, so --threads speeds the
-        # host-path span DP (the reference's per-read rayon par_iter,
-        # span_locater.rs:8)
-        if self.num_threads > 1 and len(items) > 8:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                return list(pool.map(one, items))
-        return [one(it) for it in items]
+            def one(pt):
+                p, t = pt
+                score, matches, _, tspan = align_ends_free_text(
+                    p, t, sc.mism_scr, sc.gapo_scr, sc.gape_scr)
+                return (score, matches, tspan)
+
+            items = list(zip(patterns, texts))
+            # numpy row passes release the GIL, so --threads speeds the
+            # host-path span DP (the reference's per-read rayon
+            # par_iter, span_locater.rs:8)
+            if self.num_threads > 1 and len(items) > 8:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    return list(pool.map(one, items))
+            return [one(it) for it in items]
+
+        # host twin ~1-4ms/pair (native ends-free)
+        return self._hedged("spans", device_fn, host_fn,
+                            5.0 + 0.02 * len(texts))
 
     def _finish_spans(self, st, spans):
         # ref: tr.rs:111-170 (filters, sort by TR length, downsample)
@@ -389,12 +439,17 @@ class BatchPipeline:
 
         pair_eds: List[int] = []
         if all_pairs:
-            if self.use_device:
+            def device_fn():
                 from ..kernels.editdist import edit_distances_batch
-                pair_eds = edit_distances_batch(all_pairs)
-            else:
+                return edit_distances_batch(all_pairs)
+
+            def host_fn():
                 from ..kernels.align_host import edit_distance
-                pair_eds = [edit_distance(a, b) for a, b in all_pairs]
+                return [edit_distance(a, b) for a, b in all_pairs]
+
+            # host twin ~3-10µs/pair (bit-parallel Myers)
+            pair_eds = self._hedged("editdist", device_fn, host_fn,
+                                    5.0 + 2e-5 * len(all_pairs))
 
         cluster_lookup = {}
         for st, ed_u, uidx, ei, ej, start in cluster_states:
@@ -518,10 +573,16 @@ class BatchPipeline:
         return device_aligner
 
     def _viterbi(self, hmms, queries):
-        if self.use_device:
+        def device_fn():
             from ..kernels.viterbi import viterbi_batch_multi
             return viterbi_batch_multi(hmms, queries)
-        return [h.label(q) for h, q in zip(hmms, queries)]
+
+        def host_fn():
+            return [h.label(q) for h, q in zip(hmms, queries)]
+
+        # host twin ~1-3ms/labeling (native Viterbi)
+        return self._hedged("viterbi", device_fn, host_fn,
+                            5.0 + 0.015 * len(queries))
 
     # ---- assembly (tr.rs:79-108) ----
     def _assemble(self, st) -> LocusResult:
