@@ -25,10 +25,11 @@ Budget discipline (VERDICT r2: two rounds of rc=124 are worthless):
     reference Rust binary cannot be built in this image — no cargo —
     so the host twin is the honest baseline anchor, see BASELINE.md).
 
-Fallback ladder: full catalog on device → stride-8 subset on device →
-stride-8 on CPU-JAX kernels → zero line. Every run is subprocess-
-isolated (the remote-TPU tunnel can wedge; a run that hangs is killed
-without taking the bench down).
+Fallback ladder: full catalog on device (best of two attempts — stall
+episodes clear between them; the pipeline additionally hedges stalled
+stages onto the host twins mid-run) → full catalog on the host path →
+zero line. Every run is subprocess-isolated (the remote-TPU tunnel can
+wedge; a run that hangs is killed without taking the bench down).
 """
 
 import argparse
