@@ -64,15 +64,13 @@ def test_hedge_inactive_on_cpu_backend():
     assert got == "device"
 
 
-def test_hedge_first_call_grace():
+def test_hedge_first_call_probe():
+    """The first hedged call pays a bounded init probe outside the
+    stage deadline, then the stage deadline applies normally."""
     p = _pipeline()
-    seen = {}
-
-    def device():
-        seen["ran"] = True
-        return "device"
-
+    assert not getattr(p, "_hedge_warm", False)
     with mock.patch("jax.default_backend", return_value="tpu"):
-        got = p._hedged("spans", device, lambda: "host", deadline_s=0.0)
-    # 0s deadline + 90s grace: the (fast) device call must still win
-    assert got == "device" and seen.get("ran")
+        got = p._hedged("spans", lambda: "device", lambda: "host",
+                        deadline_s=5.0)
+    assert got == "device"
+    assert p._hedge_warm and not p._device_off

@@ -135,12 +135,30 @@ class BatchPipeline:
             # CPU/virtual-mesh runs (tests, multichip dryrun) must
             # actually exercise the device path — no link to hedge
             return device_fn()
-        if not getattr(self, "_hedge_warm", False):
-            # first device call carries jit/backend init and possible
-            # compile-cache loads — grant a one-time grace
-            self._hedge_warm = True
-            deadline_s += 90.0
         import concurrent.futures as cf
+        if not getattr(self, "_hedge_warm", False):
+            # pay backend init + a tiny dispatch OUTSIDE the stage
+            # deadline (so deadlines stay tight enough to catch ~50s
+            # stall runs); a full wedge fails even this and latches
+            # straight to host
+            self._hedge_warm = True
+
+            def tiny():
+                import jax.numpy as jnp
+                jax.jit(lambda a: a * 2)(
+                    jnp.arange(128.0)).block_until_ready()
+
+            ex0 = cf.ThreadPoolExecutor(1)
+            fut0 = ex0.submit(tiny)
+            try:
+                fut0.result(timeout=60.0)
+            except Exception:
+                log.warning("device init/probe exceeded 60s (link "
+                            "wedged?); running on host for this run")
+                self._device_off = True
+                return host_fn()
+            finally:
+                ex0.shutdown(wait=False)
         ex = cf.ThreadPoolExecutor(1)
         fut = ex.submit(device_fn)
         try:
