@@ -334,9 +334,12 @@ class BatchPipeline:
                     return list(pool.map(one, items))
             return [one(it) for it in items]
 
-        # host twin ~1-4ms/pair (native ends-free)
+        # deadline = 3x the host twin's estimated cost (native
+        # ends-free runs ≥250M cells/s; cells = flank_len x Σ|text|)
+        plen = len(patterns[0]) if patterns else 0
+        est_host = plen * sum(len(t) for t in texts) / 250e6
         return self._hedged("spans", device_fn, host_fn,
-                            5.0 + 0.02 * len(texts))
+                            5.0 + 3.0 * est_host)
 
     def _finish_spans(self, st, spans):
         # ref: tr.rs:111-170 (filters, sort by TR length, downsample)
