@@ -67,6 +67,31 @@ def _timed(stage: str):
             STAGE_TIMES[stage] += dt
 
 
+def _run_with_deadline(fn, deadline_s: float):
+    """Run fn on a DAEMON thread with a deadline. Returns (ok, value,
+    err). A timed-out thread is abandoned — daemonized so a call stuck
+    in a wedged device fetch cannot block interpreter shutdown (the
+    concurrent.futures pools register an atexit join that would)."""
+    import threading
+    box: dict = {}
+    done = threading.Event()
+
+    def runner():
+        try:
+            box["v"] = fn()
+        except BaseException as e:       # noqa: BLE001 — re-raised
+            box["e"] = e
+        finally:
+            done.set()
+
+    t = threading.Thread(target=runner, daemon=True,
+                         name="trgt-hedged-device")
+    t.start()
+    if done.wait(timeout=deadline_s):
+        return True, box.get("v"), box.get("e")
+    return False, None, None
+
+
 class _LocusState:
     __slots__ = ("locus", "reads", "spans", "trs", "result", "done",
                  "gt", "allele_seqs", "classification", "hmm", "motifs",
@@ -135,7 +160,6 @@ class BatchPipeline:
             # CPU/virtual-mesh runs (tests, multichip dryrun) must
             # actually exercise the device path — no link to hedge
             return device_fn()
-        import concurrent.futures as cf
         if not getattr(self, "_hedge_warm", False):
             # pay backend init + a tiny dispatch OUTSIDE the stage
             # deadline (so deadlines stay tight enough to catch ~50s
@@ -148,30 +172,25 @@ class BatchPipeline:
                 jax.jit(lambda a: a * 2)(
                     jnp.arange(128.0)).block_until_ready()
 
-            ex0 = cf.ThreadPoolExecutor(1)
-            fut0 = ex0.submit(tiny)
-            try:
-                fut0.result(timeout=60.0)
-            except Exception:
+            ok, _, err = _run_with_deadline(tiny, 60.0)
+            if err is not None:
+                raise err
+            if not ok:
                 log.warning("device init/probe exceeded 60s (link "
                             "wedged?); running on host for this run")
                 self._device_off = True
                 return host_fn()
-            finally:
-                ex0.shutdown(wait=False)
-        ex = cf.ThreadPoolExecutor(1)
-        fut = ex.submit(device_fn)
-        try:
-            return fut.result(timeout=deadline_s)
-        except cf.TimeoutError:
-            log.warning(
-                "device %s stage exceeded its %.1fs hedge deadline "
-                "(link stall?); computing on host and disabling the "
-                "device path for the rest of the run", stage, deadline_s)
-            self._device_off = True
-            return host_fn()
-        finally:
-            ex.shutdown(wait=False)
+        ok, value, err = _run_with_deadline(device_fn, deadline_s)
+        if err is not None:
+            raise err
+        if ok:
+            return value
+        log.warning(
+            "device %s stage exceeded its %.1fs hedge deadline "
+            "(link stall?); computing on host and disabling the "
+            "device path for the rest of the run", stage, deadline_s)
+        self._device_off = True
+        return host_fn()
 
     def process(self, loci, bam):
         """Yields (locus, LocusResult) in input order, batch by batch.
