@@ -92,6 +92,42 @@ def _run_with_deadline(fn, deadline_s: float):
     return False, None, None
 
 
+def _race(device_fn, host_fn, bound_s: float):
+    """Run both on daemon threads; return ("device"|"host", value, err)
+    for the FIRST finisher, or (None, None, None) if neither finishes
+    within bound_s. An erroring side forfeits to the other (its error
+    is returned only if the winner side errored)."""
+    import threading
+    box: dict = {}
+    done = threading.Event()
+    lock = threading.Lock()
+
+    def runner(name, fn):
+        try:
+            v = fn()
+            with lock:
+                if "winner" not in box:
+                    box["winner"] = name
+                    box["v"] = v
+        except BaseException as e:       # noqa: BLE001 — surfaced below
+            with lock:
+                box.setdefault("errs", {})[name] = e
+                if len(box.get("errs", {})) < 2 and "winner" not in box:
+                    return               # let the other side win
+        done.set()
+
+    for name, fn in (("device", device_fn), ("host", host_fn)):
+        threading.Thread(target=runner, args=(name, fn), daemon=True,
+                         name=f"trgt-race-{name}").start()
+    if not done.wait(timeout=bound_s):
+        return None, None, None
+    with lock:
+        if "winner" in box:
+            return box["winner"], box["v"], None
+        # both errored: surface the host error (deterministic)
+        return "host", None, box["errs"].get("host")
+
+
 class _LocusState:
     __slots__ = ("locus", "reads", "spans", "trs", "result", "done",
                  "gt", "allele_seqs", "classification", "hmm", "motifs",
@@ -145,12 +181,16 @@ class BatchPipeline:
         return bam
 
     def _hedged(self, stage: str, device_fn, host_fn, deadline_s: float):
-        """Run device_fn with a deadline; on timeout compute host_fn
-        instead (outputs are byte-identical by construction — enforced
-        by the concordance suite) and turn the device off for the rest
-        of the run. The abandoned device call keeps its daemon thread
-        until the link unwedges; no further dispatches will queue
-        behind it."""
+        """RACE device_fn against host_fn and return the first result —
+        the two paths are byte-identical by construction (enforced by
+        the concordance suite), so the winner choice cannot change
+        outputs. The device absorbs the remote link's stall episodes
+        (round-3 NOTES: same warm shapes oscillate 100x); the host twin
+        runs on cores that would otherwise idle during device calls.
+        deadline_s only bounds the wait when BOTH sides hang (it is
+        ≥ 3x the host twin's estimated cost). A device path that loses
+        its race twice in a row is latched off per stage; a device that
+        cannot even answer a tiny probe within 60s latches off whole."""
         if not self.use_device or self._device_off:
             return host_fn()
         if not self.hedge:
@@ -158,13 +198,16 @@ class BatchPipeline:
         import jax
         if jax.default_backend() != "tpu":
             # CPU/virtual-mesh runs (tests, multichip dryrun) must
-            # actually exercise the device path — no link to hedge
+            # actually exercise the device path — no link to race
             return device_fn()
+        losses = getattr(self, "_stage_losses", None)
+        if losses is None:
+            losses = self._stage_losses = {}
+        if losses.get(stage, 0) >= 2:
+            return host_fn()
         if not getattr(self, "_hedge_warm", False):
-            # pay backend init + a tiny dispatch OUTSIDE the stage
-            # deadline (so deadlines stay tight enough to catch ~50s
-            # stall runs); a full wedge fails even this and latches
-            # straight to host
+            # pay backend init + a tiny dispatch before the first race
+            # (else init time counts as a spurious device loss)
             self._hedge_warm = True
 
             def tiny():
@@ -180,15 +223,24 @@ class BatchPipeline:
                             "wedged?); running on host for this run")
                 self._device_off = True
                 return host_fn()
-        ok, value, err = _run_with_deadline(device_fn, deadline_s)
+        winner, value, err = _race(device_fn, host_fn,
+                                   max(deadline_s, 60.0))
         if err is not None:
             raise err
-        if ok:
+        if winner == "device":
+            losses[stage] = 0
             return value
-        log.warning(
-            "device %s stage exceeded its %.1fs hedge deadline "
-            "(link stall?); computing on host and disabling the "
-            "device path for the rest of the run", stage, deadline_s)
+        if winner == "host":
+            n = losses[stage] = losses.get(stage, 0) + 1
+            if n == 2:
+                log.info("host twin outran the device %s stage twice; "
+                         "running that stage on host for the rest of "
+                         "the run", stage)
+            return value
+        # both sides exceeded the bound — treat as a wedged link
+        log.warning("both device and host %s stages exceeded %.0fs; "
+                    "disabling the device and retrying on host",
+                    stage, max(deadline_s, 60.0))
         self._device_off = True
         return host_fn()
 
