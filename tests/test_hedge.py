@@ -102,3 +102,29 @@ def test_device_error_forfeits_to_host():
     with mock.patch("jax.default_backend", return_value="tpu"):
         got = p._hedged("spans", boom, slow("host", 0.3), 30)
     assert got == "host"
+
+
+def test_host_loser_cancels():
+    """A losing host twin must stop promptly once the device wins (it
+    was burning a core into the next stage otherwise)."""
+    import threading
+    from trgt_tpu.engine import pipeline as pl
+
+    p = _pipeline()
+    progress = []
+
+    def host_fn(cancelled=lambda: False):
+        for i in range(1000):
+            if cancelled():
+                raise pl._Cancelled()
+            progress.append(i)
+            time.sleep(0.01)
+        return "host"
+
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        got = p._hedged("spans", slow("device", 0.15), host_fn, 30)
+    assert got == "device"
+    time.sleep(0.3)                       # let the loser observe cancel
+    n_after = len(progress)
+    time.sleep(0.3)
+    assert len(progress) == n_after       # no further host progress

@@ -92,14 +92,23 @@ def _run_with_deadline(fn, deadline_s: float):
     return False, None, None
 
 
+class _Cancelled(Exception):
+    """Raised by a host twin when the device already won its race."""
+
+
 def _race(device_fn, host_fn, bound_s: float):
     """Run both on daemon threads; return ("device"|"host", value, err)
     for the FIRST finisher, or (None, None, None) if neither finishes
     within bound_s. An erroring side forfeits to the other (its error
-    is returned only if the winner side errored)."""
+    is returned only if both sides errored). host_fn receives a
+    zero-arg `cancelled` callable and should poll it between work items
+    so a losing host twin stops burning cores (the device side blocks
+    in native code and cannot be cancelled — it is simply abandoned)."""
+    import inspect
     import threading
     box: dict = {}
     done = threading.Event()
+    cancel = threading.Event()
     lock = threading.Lock()
 
     def runner(name, fn):
@@ -109,6 +118,10 @@ def _race(device_fn, host_fn, bound_s: float):
                 if "winner" not in box:
                     box["winner"] = name
                     box["v"] = v
+                    if name == "device":
+                        cancel.set()
+        except _Cancelled:
+            return
         except BaseException as e:       # noqa: BLE001 — surfaced below
             with lock:
                 box.setdefault("errs", {})[name] = e
@@ -116,7 +129,14 @@ def _race(device_fn, host_fn, bound_s: float):
                     return               # let the other side win
         done.set()
 
-    for name, fn in (("device", device_fn), ("host", host_fn)):
+    try:
+        takes_cancel = "cancelled" in inspect.signature(
+            host_fn).parameters
+    except (TypeError, ValueError):
+        takes_cancel = False
+    host_call = (lambda: host_fn(cancelled=cancel.is_set)) \
+        if takes_cancel else host_fn
+    for name, fn in (("device", device_fn), ("host", host_call)):
         threading.Thread(target=runner, args=(name, fn), daemon=True,
                          name=f"trgt-race-{name}").start()
     if not done.wait(timeout=bound_s):
@@ -386,7 +406,7 @@ class BatchPipeline:
             return flank_align_batch_multi(patterns, texts, sc.mism_scr,
                                            sc.gapo_scr, sc.gape_scr)
 
-        def host_fn():
+        def host_fn(cancelled=lambda: False):
             from ..kernels.align_host import align_ends_free_text
 
             def one(pt):
@@ -403,7 +423,12 @@ class BatchPipeline:
                 from concurrent.futures import ThreadPoolExecutor
                 with ThreadPoolExecutor(self.num_threads) as pool:
                     return list(pool.map(one, items))
-            return [one(it) for it in items]
+            out = []
+            for it in items:
+                if cancelled():
+                    raise _Cancelled()
+                out.append(one(it))
+            return out
 
         # deadline = 3x the host twin's estimated cost (native
         # ends-free runs ≥250M cells/s; cells = flank_len x Σ|text|)
@@ -535,9 +560,14 @@ class BatchPipeline:
                 from ..kernels.editdist import edit_distances_batch
                 return edit_distances_batch(all_pairs)
 
-            def host_fn():
+            def host_fn(cancelled=lambda: False):
                 from ..kernels.align_host import edit_distance
-                return [edit_distance(a, b) for a, b in all_pairs]
+                out = []
+                for a, b in all_pairs:
+                    if cancelled():
+                        raise _Cancelled()
+                    out.append(edit_distance(a, b))
+                return out
 
             # host twin ~3-10µs/pair (bit-parallel Myers)
             pair_eds = self._hedged("editdist", device_fn, host_fn,
@@ -669,8 +699,13 @@ class BatchPipeline:
             from ..kernels.viterbi import viterbi_batch_multi
             return viterbi_batch_multi(hmms, queries)
 
-        def host_fn():
-            return [h.label(q) for h, q in zip(hmms, queries)]
+        def host_fn(cancelled=lambda: False):
+            out = []
+            for h, q in zip(hmms, queries):
+                if cancelled():
+                    raise _Cancelled()
+                out.append(h.label(q))
+            return out
 
         # host twin ~1-3ms/labeling (native Viterbi)
         return self._hedged("viterbi", device_fn, host_fn,
