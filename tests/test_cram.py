@@ -159,3 +159,35 @@ def test_genotype_cram_equals_bam(tmp_path):
             outs[label] = [ln for ln in fh if not ln.startswith("##")]
     assert outs["bam"] == outs["cram"]
     assert any("\tGT:" in ln or "GT:AL" in ln for ln in outs["bam"])
+
+
+def test_cram_corrupt_block_crc_raises(tmp_path):
+    """A flipped byte inside a CRAM container must surface as an
+    IOError (block CRC32 verification, ADVICE r2) — never as silently
+    wrong reads."""
+    import pytest
+
+    loci = [SynthLocus("CC", "CAG", 12, (12, 18))]
+    fasta, bed, bam_path = make_dataset(str(tmp_path), loci, depth=10)
+    cram_path = str(tmp_path / "reads.cram")
+    n = _mk_cram_from_bam(bam_path, fasta, cram_path)
+    assert n > 0
+    clean = list(CramReader(cram_path, fasta))
+    data = bytearray(open(cram_path, "rb").read())
+    # corrupt a byte deep in the data-containers region (past the magic
+    # + file header container); try several offsets — each must either
+    # raise or (if it landed in padding) reproduce the clean records
+    saw_error = False
+    for frac in (0.5, 0.6, 0.7, 0.8):
+        corrupt = bytearray(data)
+        corrupt[int(len(data) * frac)] ^= 0x41
+        bad_path = str(tmp_path / f"bad_{frac}.cram")
+        open(bad_path, "wb").write(bytes(corrupt))
+        try:
+            recs = list(CramReader(bad_path, fasta))
+        except Exception:
+            saw_error = True
+            continue
+        assert [(r.qname, r.seq) for r in recs] == \
+            [(r.qname, r.seq) for r in clean]
+    assert saw_error, "no corruption was detected at any offset"
