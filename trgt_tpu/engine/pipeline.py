@@ -130,12 +130,17 @@ def _race(device_fn, host_fn, bound_s: float):
         done.set()
 
     try:
-        takes_cancel = "cancelled" in inspect.signature(
-            host_fn).parameters
+        params = inspect.signature(host_fn).parameters
     except (TypeError, ValueError):
-        takes_cancel = False
-    host_call = (lambda: host_fn(cancelled=cancel.is_set)) \
-        if takes_cancel else host_fn
+        params = {}
+    kwargs = {}
+    if "cancelled" in params:
+        kwargs["cancelled"] = cancel.is_set
+    if "racing" in params:
+        # the device side blocks on the link, so its core is free —
+        # raced host twins may parallelize beyond --threads
+        kwargs["racing"] = True
+    host_call = (lambda: host_fn(**kwargs)) if kwargs else host_fn
     for name, fn in (("device", device_fn), ("host", host_call)):
         threading.Thread(target=runner, args=(name, fn), daemon=True,
                          name=f"trgt-race-{name}").start()
@@ -406,7 +411,8 @@ class BatchPipeline:
             return flank_align_batch_multi(patterns, texts, sc.mism_scr,
                                            sc.gapo_scr, sc.gape_scr)
 
-        def host_fn(cancelled=lambda: False):
+        def host_fn(cancelled=lambda: False, racing=False):
+            import os as _os
             from ..kernels.align_host import align_ends_free_text
 
             def one(pt):
@@ -416,13 +422,23 @@ class BatchPipeline:
                 return (score, matches, tspan)
 
             items = list(zip(patterns, texts))
-            # numpy row passes release the GIL, so --threads speeds the
-            # host-path span DP (the reference's per-read rayon
-            # par_iter, span_locater.rs:8)
-            if self.num_threads > 1 and len(items) > 8:
+            # the native DP releases the GIL, so threads speed the host
+            # span twin (the reference's per-read rayon par_iter,
+            # span_locater.rs:8); when RACING, the device side is
+            # blocked on the link and its core is free regardless of
+            # --threads
+            n_threads = self.num_threads
+            if racing:
+                n_threads = max(n_threads, min(_os.cpu_count() or 2, 4))
+            if n_threads > 1 and len(items) > 8:
                 from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(self.num_threads) as pool:
-                    return list(pool.map(one, items))
+                out = []
+                with ThreadPoolExecutor(n_threads) as pool:
+                    for lo in range(0, len(items), 64):
+                        if cancelled():
+                            raise _Cancelled()
+                        out.extend(pool.map(one, items[lo:lo + 64]))
+                return out
             out = []
             for it in items:
                 if cancelled():
