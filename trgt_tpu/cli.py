@@ -189,5 +189,23 @@ def main(argv=None) -> int:
     return 0
 
 
+def exit_cli(rc: int) -> None:
+    """Exit the top-level CLI process. When raced device dispatches
+    were abandoned mid-call (blocked in native code on a stalled
+    accelerator link), normal interpreter teardown freezes one of them
+    mid-C++-unwind and aborts with "FATAL: exception not rethrown"
+    AFTER all outputs are written — skip teardown with os._exit
+    instead. Library callers of main() are unaffected."""
+    try:
+        from .engine import pipeline
+        if pipeline.abandoned_device_threads():
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(rc)
+    except Exception:
+        pass
+    sys.exit(rc)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    exit_cli(main())

@@ -96,6 +96,20 @@ class _Cancelled(Exception):
     """Raised by a host twin when the device already won its race."""
 
 
+# device race threads abandoned mid-call (blocked in native code on a
+# stalled link); interpreter teardown freezing one mid-C++-unwind prints
+# a scary-but-harmless "FATAL: exception not rethrown" — the CLI
+# entrypoint checks this and uses os._exit to skip teardown instead
+_ABANDONED_DEVICE_THREADS: list = []
+
+
+def abandoned_device_threads() -> int:
+    """Count of abandoned device-side race threads still alive."""
+    _ABANDONED_DEVICE_THREADS[:] = [
+        t for t in _ABANDONED_DEVICE_THREADS if t.is_alive()]
+    return len(_ABANDONED_DEVICE_THREADS)
+
+
 def _race(device_fn, host_fn, bound_s: float):
     """Run both on daemon threads; return ("device"|"host", value, err)
     for the FIRST finisher, or (None, None, None) if neither finishes
@@ -141,10 +155,16 @@ def _race(device_fn, host_fn, bound_s: float):
         # raced host twins may parallelize beyond --threads
         kwargs["racing"] = True
     host_call = (lambda: host_fn(**kwargs)) if kwargs else host_fn
+    threads = {}
     for name, fn in (("device", device_fn), ("host", host_call)):
-        threading.Thread(target=runner, args=(name, fn), daemon=True,
-                         name=f"trgt-race-{name}").start()
-    if not done.wait(timeout=bound_s):
+        t = threading.Thread(target=runner, args=(name, fn), daemon=True,
+                             name=f"trgt-race-{name}")
+        threads[name] = t
+        t.start()
+    timed_out = not done.wait(timeout=bound_s)
+    if threads["device"].is_alive():
+        _ABANDONED_DEVICE_THREADS.append(threads["device"])
+    if timed_out:
         return None, None, None
     with lock:
         if "winner" in box:
