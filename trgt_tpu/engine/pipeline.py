@@ -89,6 +89,9 @@ def _run_with_deadline(fn, deadline_s: float):
     t.start()
     if done.wait(timeout=deadline_s):
         return True, box.get("v"), box.get("e")
+    # register the abandoned (likely link-wedged) thread so exit_cli
+    # can skip interpreter teardown for it (same mechanism as _race)
+    _ABANDONED_DEVICE_THREADS.append(t)
     return False, None, None
 
 
@@ -165,9 +168,20 @@ def _race(device_fn, host_fn, bound_s: float):
     if threads["device"].is_alive():
         _ABANDONED_DEVICE_THREADS.append(threads["device"])
     if timed_out:
+        # stop the abandoned host twin at its next cancelled() poll —
+        # the caller re-runs host_fn() on the main thread and must not
+        # compete with a zombie twin for cores during stall recovery
+        cancel.set()
         return None, None, None
     with lock:
         if "winner" in box:
+            # a forfeiting side's error must not be silent: a genuinely
+            # broken device kernel would otherwise latch off looking
+            # like an ordinary lost race
+            for name, e in box.get("errs", {}).items():
+                log.warning("raced %s side failed (%s: %s); using the "
+                            "%s result", name, type(e).__name__, e,
+                            box["winner"])
             return box["winner"], box["v"], None
         # both errored: surface the host error (deterministic)
         return "host", None, box["errs"].get("host")
@@ -225,6 +239,43 @@ class BatchPipeline:
             self._tls.bam = bam
         return bam
 
+    # a latched stage re-races once after this many host-only calls; a
+    # whole-run device latch re-probes the link (async, zero wall cost)
+    # after this many seconds — a stall episode early in a million-locus
+    # run must not forfeit the TPU for the remaining hours
+    REARM_AFTER_SKIPS = 6
+    REPROBE_AFTER_S = 120.0
+
+    def _reprobe_device(self):
+        """Async re-probe of a whole-run-latched device: launch a tiny
+        dispatch on a daemon thread and un-latch when (if) it lands.
+        Never blocks the caller — stall recovery costs zero wall time."""
+        import threading
+        now = time.monotonic()
+        if getattr(self, "_reprobe_thread", None) is not None and \
+                self._reprobe_thread.is_alive():
+            return
+        if now - getattr(self, "_last_probe_t", 0.0) < self.REPROBE_AFTER_S:
+            return
+        self._last_probe_t = now
+
+        def probe():
+            try:
+                import jax
+                import jax.numpy as jnp
+                jax.jit(lambda a: a * 2)(
+                    jnp.arange(128.0)).block_until_ready()
+            except Exception:    # noqa: BLE001 — stay latched
+                return
+            log.info("device link answered the re-probe; re-arming the "
+                     "device path")
+            self._device_off = False
+
+        t = threading.Thread(target=probe, daemon=True,
+                             name="trgt-device-reprobe")
+        self._reprobe_thread = t
+        t.start()
+
     def _hedged(self, stage: str, device_fn, host_fn, deadline_s: float):
         """RACE device_fn against host_fn and return the first result —
         the two paths are byte-identical by construction (enforced by
@@ -234,9 +285,14 @@ class BatchPipeline:
         runs on cores that would otherwise idle during device calls.
         deadline_s only bounds the wait when BOTH sides hang (it is
         ≥ 3x the host twin's estimated cost). A device path that loses
-        its race twice in a row is latched off per stage; a device that
-        cannot even answer a tiny probe within 60s latches off whole."""
-        if not self.use_device or self._device_off:
+        its race twice in a row is latched off per stage and RE-ARMED
+        (one fresh race) after REARM_AFTER_SKIPS host-only calls; a
+        device that cannot answer a tiny probe within 60s latches off
+        whole and is re-probed asynchronously every REPROBE_AFTER_S."""
+        if not self.use_device:
+            return host_fn()
+        if self._device_off:
+            self._reprobe_device()
             return host_fn()
         if not self.hedge:
             return device_fn()
@@ -248,8 +304,18 @@ class BatchPipeline:
         losses = getattr(self, "_stage_losses", None)
         if losses is None:
             losses = self._stage_losses = {}
+            self._stage_skips = {}
         if losses.get(stage, 0) >= 2:
-            return host_fn()
+            skips = self._stage_skips
+            skips[stage] = skips.get(stage, 0) + 1
+            if skips[stage] < self.REARM_AFTER_SKIPS:
+                return host_fn()
+            # re-arm: drop to one loss so this call races again; a win
+            # clears the latch, a loss re-latches immediately
+            skips[stage] = 0
+            losses[stage] = 1
+            log.info("re-arming latched device %s stage for one race",
+                     stage)
         if not getattr(self, "_hedge_warm", False):
             # pay backend init + a tiny dispatch before the first race
             # (else init time counts as a spurious device loss)
@@ -265,8 +331,10 @@ class BatchPipeline:
                 raise err
             if not ok:
                 log.warning("device init/probe exceeded 60s (link "
-                            "wedged?); running on host for this run")
+                            "wedged?); running on host until a "
+                            "re-probe lands")
                 self._device_off = True
+                self._last_probe_t = time.monotonic()
                 return host_fn()
         winner, value, err = _race(device_fn, host_fn,
                                    max(deadline_s, 60.0))
@@ -287,6 +355,7 @@ class BatchPipeline:
                     "disabling the device and retrying on host",
                     stage, max(deadline_s, 60.0))
         self._device_off = True
+        self._last_probe_t = time.monotonic()
         return host_fn()
 
     def process(self, loci, bam):
