@@ -1165,6 +1165,146 @@ int trgt_endsfree_align(const uint8_t *pat, int64_t P, const uint8_t *txt,
     return 0;
 }
 
+// Diagonal-banded variant of trgt_endsfree_align: identical recurrences
+// and tie rules, evaluated only on cells with j - i in [dlo, dhi]. The
+// caller (kernels/span_window.py) certifies post-hoc that every optimal
+// alignment lies inside the band, which makes score/matches/span/ties
+// bit-identical to the full DP; uncertified results are discarded and
+// recomputed full. Cells per problem drop from O(P*T) to O(P*W),
+// W = band width — the O(n*s)-class answer to WFA's wavefronts
+// (ref: src/wfaligner.rs:5-10) for the span-locater workload
+// (ref: src/trgt/genotype/span_locater.rs:14-27).
+// rc: 0 ok; 1 = no valid end cell in band; 2 = traceback left the band
+// (uncertifiable; caller recomputes full); -1 = args/alloc.
+int trgt_endsfree_banded(const uint8_t *pat, int64_t P, const uint8_t *txt,
+                         int64_t T, int64_t mism, int64_t gapo,
+                         int64_t gape, int64_t dlo, int64_t dhi,
+                         int64_t *out) {
+    if (P <= 0 || T <= 0 || dhi < dlo) return -1;
+    const int64_t W = dhi - dlo + 1;
+    int64_t *H_prev = (int64_t *)malloc(sizeof(int64_t) * W);
+    int64_t *E_prev = (int64_t *)malloc(sizeof(int64_t) * W);
+    int64_t *H_row = (int64_t *)malloc(sizeof(int64_t) * W);
+    int64_t *E_row = (int64_t *)malloc(sizeof(int64_t) * W);
+    uint8_t *tbk = (uint8_t *)malloc((size_t)(P + 1) * W);
+    if (!H_prev || !E_prev || !H_row || !E_row || !tbk) {
+        free(H_prev); free(E_prev); free(H_row); free(E_row); free(tbk);
+        return -1;
+    }
+    for (int64_t b = 0; b < W; b++) {     // row 0: free text start
+        const int64_t j = dlo + b;
+        H_prev[b] = (j >= 0 && j <= T) ? 0 : ALN_INF;
+        E_prev[b] = ALN_INF;
+        tbk[b] = 0;
+    }
+    for (int64_t i = 1; i <= P; i++) {
+        uint8_t *tb_row = tbk + (size_t)i * W;
+        const int64_t pc = pat[i - 1];
+        int64_t f_prev = ALN_INF, hnof_prev = ALN_INF;
+        for (int64_t b = 0; b < W; b++) {
+            const int64_t j = i + dlo + b;
+            if (j < 0 || j > T) {
+                H_row[b] = ALN_INF;
+                E_row[b] = ALN_INF;
+                tb_row[b] = 0;
+                f_prev = ALN_INF;
+                hnof_prev = ALN_INF;
+                continue;
+            }
+            // E refs (i-1, j): band index b+1 in the previous row
+            int64_t hp = (b + 1 < W) ? H_prev[b + 1] : ALN_INF;
+            int64_t ep = (b + 1 < W) ? E_prev[b + 1] : ALN_INF;
+            int64_t e_open = (hp >= ALN_INF) ? ALN_INF : hp + gapo + gape;
+            int64_t e_ext = (ep >= ALN_INF) ? ALN_INF : ep + gape;
+            uint8_t et = (e_ext < e_open) ? 1 : 0;
+            int64_t E_j = et ? e_ext : e_open;
+            if (j == 0) {
+                E_j = gapo + gape * i;
+                et = (i > 1) ? 1 : 0;
+            }
+            // diag refs (i-1, j-1): band index b in the previous row
+            int64_t diag = ALN_INF;
+            if (j >= 1 && H_prev[b] < ALN_INF)
+                diag = H_prev[b] + ((txt[j - 1] == pc) ? 0 : mism);
+            int64_t h_no_f = diag < E_j ? diag : E_j;
+            int64_t f_open = (hnof_prev >= ALN_INF) ? ALN_INF
+                             : hnof_prev + gapo + gape;
+            int64_t f_ext = (f_prev >= ALN_INF) ? ALN_INF
+                            : f_prev + gape;
+            int64_t F_j = f_open < f_ext ? f_open : f_ext;
+            uint8_t ft = (F_j < f_open) ? 1 : 0;
+            uint8_t ht;
+            int64_t H_j;
+            if (diag <= E_j && diag <= F_j) { H_j = diag; ht = 0; }
+            else if (E_j <= F_j) { H_j = E_j; ht = 1; }
+            else { H_j = F_j; ht = 2; }
+            if (j == 0) { H_j = E_j; ht = 1; }
+            if (H_j > ALN_INF) H_j = ALN_INF;
+            if (E_j > ALN_INF) E_j = ALN_INF;
+            H_row[b] = H_j;
+            E_row[b] = E_j;
+            tb_row[b] = (uint8_t)(ht | (et << 2) | (ft << 3));
+            f_prev = F_j;
+            hnof_prev = h_no_f;
+        }
+        int64_t *tmp = H_prev; H_prev = H_row; H_row = tmp;
+        tmp = E_prev; E_prev = E_row; E_row = tmp;
+    }
+    // first minimum over valid row-P cells wins — band indices ascend
+    // with j, so this reproduces the full DP's first-argmin end column
+    int64_t j_end = -1, score = ALN_INF;
+    for (int64_t b = 0; b < W; b++) {
+        const int64_t j = P + dlo + b;
+        if (j < 0 || j > T) continue;
+        if (H_prev[b] < score) { score = H_prev[b]; j_end = j; }
+    }
+    if (j_end < 0 || score >= ALN_INF) {
+        free(H_prev); free(E_prev); free(H_row); free(E_row); free(tbk);
+        return 1;
+    }
+    int64_t i = P, j = j_end;
+    int64_t layer = tbk[(size_t)P * W + (j - P - dlo)] & 3;
+    int64_t n_matches = 0;
+    int64_t p_start = -1, p_end = -1, t_start = -1, t_end = -1;
+    int rc = 0;
+    while (i > 0) {
+        const int64_t b = j - i - dlo;
+        if (b < 0 || b >= W) { rc = 2; break; }
+        const uint8_t bits = tbk[(size_t)i * W + b];
+        if (j > 0 && layer == 0) {
+            if (pat[i - 1] == txt[j - 1]) n_matches++;
+            if (p_end < 0) { p_end = i; t_end = j; }
+            p_start = i - 1;
+            t_start = j - 1;
+            i -= 1; j -= 1;
+            layer = -1;                      // re-read at the new cell
+        } else if (layer == 1) {
+            const uint8_t ext = (bits >> 2) & 1;
+            i -= 1;
+            layer = ext ? 1 : -1;
+        } else {
+            const uint8_t ext = (bits >> 3) & 1;
+            j -= 1;
+            layer = ext ? 2 : -1;
+        }
+        if (layer == -1 && i > 0) {
+            const int64_t nb = j - i - dlo;
+            if (nb < 0 || nb >= W) { rc = 2; break; }
+            layer = tbk[(size_t)i * W + nb] & 3;
+        }
+    }
+    out[0] = score;
+    if (p_end < 0) {
+        out[1] = out[2] = out[3] = out[4] = out[5] = 0;
+    } else {
+        out[1] = n_matches;
+        out[2] = p_start; out[3] = p_end;
+        out[4] = t_start; out[5] = t_end;
+    }
+    free(H_prev); free(E_prev); free(H_row); free(E_row); free(tbk);
+    return rc;
+}
+
 // ---------------- HMM Viterbi (host twin) ----------------
 //
 // Native twin of trgt_tpu/hmm/model.Hmm.label (ref: the reference

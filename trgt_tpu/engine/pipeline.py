@@ -494,23 +494,48 @@ class BatchPipeline:
             self._finish_spans(st, spans)
 
     def _align_misses(self, patterns, texts, sc):
+        # certified seed-window banding (kernels/span_window.py): shrink
+        # the text axis of every miss to the windows that provably
+        # contain all optimal alignments, dispatch the windows on BOTH
+        # race sides, and recompute the rare certificate failures on the
+        # full text — bit-identical results at a fraction of the cells
+        from ..kernels import span_window
+        plans = [span_window.plan_windows(p, t, sc.mism_scr, sc.gapo_scr,
+                                          sc.gape_scr)
+                 for p, t in zip(patterns, texts)]
+        sub_patterns, sub_texts, sub_bands, owners = span_window.expand(
+            plans, patterns, texts)
+
         def device_fn():
             # Pallas-vs-XLA selection lives inside the kernel module
             from ..kernels.semiglobal import flank_align_batch_multi
-            return flank_align_batch_multi(patterns, texts, sc.mism_scr,
-                                           sc.gapo_scr, sc.gape_scr)
+            return flank_align_batch_multi(sub_patterns, sub_texts,
+                                           sc.mism_scr, sc.gapo_scr,
+                                           sc.gape_scr)
 
         def host_fn(cancelled=lambda: False, racing=False):
             import os as _os
+            from ..io import native
             from ..kernels.align_host import align_ends_free_text
 
-            def one(pt):
-                p, t = pt
+            def one(ptb):
+                p, t, band = ptb
+                if band is not None:
+                    # diagonal-banded native DP — O(P*W) cells; the
+                    # band is a subset of the device kernel's window,
+                    # and the certificate reduction makes both sides
+                    # accept identical results (span_window docstring)
+                    res = native.endsfree_banded(
+                        p, t, sc.mism_scr, sc.gapo_scr, sc.gape_scr,
+                        band[0], band[1])
+                    if res is not None:
+                        score, matches, _, tspan = res
+                        return (score, matches, tspan)
                 score, matches, _, tspan = align_ends_free_text(
                     p, t, sc.mism_scr, sc.gapo_scr, sc.gape_scr)
                 return (score, matches, tspan)
 
-            items = list(zip(patterns, texts))
+            items = list(zip(sub_patterns, sub_texts, sub_bands))
             # the native DP releases the GIL, so threads speed the host
             # span twin (the reference's per-read rayon par_iter,
             # span_locater.rs:8); when RACING, the device side is
@@ -536,11 +561,28 @@ class BatchPipeline:
             return out
 
         # deadline = 3x the host twin's estimated cost (native
-        # ends-free runs ≥250M cells/s; cells = flank_len x Σ|text|)
+        # ends-free runs ≥250M cells/s; banded problems cost only the
+        # band width per row)
         plen = len(patterns[0]) if patterns else 0
-        est_host = plen * sum(len(t) for t in texts) / 250e6
-        return self._hedged("spans", device_fn, host_fn,
-                            5.0 + 3.0 * est_host)
+        est_host = plen * sum(
+            (b[1] - b[0] + 1) if b is not None else len(t)
+            for t, b in zip(sub_texts, sub_bands)) / 250e6
+        sub_results = self._hedged("spans", device_fn, host_fn,
+                                   5.0 + 3.0 * est_host)
+        out, redo = span_window.reduce_and_certify(
+            plans, owners, sub_results, len(texts), sc.mism_scr,
+            sc.gapo_scr, sc.gape_scr)
+        if redo:
+            log.debug("span windows: %d/%d certificate failures "
+                      "recomputed on the full text", len(redo),
+                      len(texts))
+            from ..kernels.align_host import align_ends_free_text
+            for mi in redo:
+                score, matches, _, tspan = align_ends_free_text(
+                    patterns[mi], texts[mi], sc.mism_scr, sc.gapo_scr,
+                    sc.gape_scr)
+                out[mi] = (score, matches, tspan)
+        return out
 
     def _finish_spans(self, st, spans):
         # ref: tr.rs:111-170 (filters, sort by TR length, downsample)

@@ -84,6 +84,12 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
         lib.trgt_endsfree_align.restype = ctypes.c_int
+        lib.trgt_endsfree_banded.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.trgt_endsfree_banded.restype = ctypes.c_int
         lib.trgt_hmm_label.argtypes = [
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
@@ -199,6 +205,26 @@ def endsfree_align(pattern: bytes, text: bytes, mism: int, gapo: int,
     out = (ctypes.c_int64 * 6)()
     rc = lib.trgt_endsfree_align(pattern, len(pattern), text, len(text),
                                  mism, gapo, gape, out)
+    if rc != 0:
+        return None
+    return (int(out[0]), int(out[1]), (int(out[2]), int(out[3])),
+            (int(out[4]), int(out[5])))
+
+
+def endsfree_banded(pattern: bytes, text: bytes, mism: int, gapo: int,
+                    gape: int, dlo: int, dhi: int):
+    """Native diagonal-banded ends-free alignment (band j - i in
+    [dlo, dhi]); bit-identical to endsfree_align when the caller's
+    certificate holds (kernels/span_window.py). Returns
+    (score, n_matches, (p_start, p_end), (t_start, t_end)), or None if
+    the library is unavailable or the banded traceback was invalid
+    (callers recompute on the full DP)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = (ctypes.c_int64 * 6)()
+    rc = lib.trgt_endsfree_banded(pattern, len(pattern), text, len(text),
+                                  mism, gapo, gape, dlo, dhi, out)
     if rc != 0:
         return None
     return (int(out[0]), int(out[1]), (int(out[2]), int(out[3])),
