@@ -53,6 +53,37 @@ def test_e2e_device_matches_host_scores():
         check_cigar(a, b, cigar, score, 2, 5, 1)
 
 
+def test_e2e_device_cigars_byte_identical_to_host():
+    """The consensus stage RACES the device kernel against the host
+    aligner (engine/pipeline._consensus_aligner), so the two must agree
+    on the exact CIGAR — co-optimal tie-breaks included — or the race
+    winner would change output bytes. Fuzzed over near-identical pairs
+    (the consensus-repair workload) and random pairs."""
+    rng = random.Random(7)
+    pairs = []
+    for _ in range(60):
+        if rng.random() < 0.5:
+            a = random_dna(rng, 5, 80)
+            b = bytearray(a)
+            for _ in range(rng.randint(0, 4)):
+                op = rng.random()
+                pos = rng.randrange(max(1, len(b)))
+                if op < 0.5:
+                    b[pos:pos + 1] = bytes([rng.choice(b"ACGT")])
+                elif op < 0.75:
+                    b[pos:pos] = bytes([rng.choice(b"ACGT")])
+                else:
+                    del b[pos:pos + 1]
+            pairs.append((a, bytes(b)))
+        else:
+            pairs.append((random_dna(rng, 1, 60), random_dna(rng, 1, 60)))
+    results = e2e_align_batch(pairs, 2, 5, 1)
+    for (a, b), (score, cigar) in zip(pairs, results):
+        h_score, h_cigar = align_end_to_end(a, b, 2, 5, 1)
+        assert score == h_score
+        assert cigar == h_cigar, (a, b, cigar, h_cigar)
+
+
 def test_e2e_device_consensus_scoring():
     # consensus aligner penalties (2,5,1) on near-identical repeats
     rng = random.Random(42)

@@ -790,56 +790,88 @@ class BatchPipeline:
     def _consensus_aligner(self):
         """Consensus-repair aligner (ref: utils/align.rs affine 2,5,1),
         deduplicated (alignment is a pure function of the pair; deep
-        loci repeat identical read strings) and threaded (the DP's
-        numpy row passes release the GIL, like the reference's
-        utils/align.rs par_iter).
+        loci repeat identical read strings) and threaded (the native
+        DP releases the GIL, like the reference's utils/align.rs
+        par_iter).
 
-        This stage runs on HOST by default even in device mode: the
-        device e2e kernel must ship a (P+1, B, T+1) direction-bit
-        tensor back for traceback, which measured 0.3 Mcells/s over the
-        remote-TPU tunnel (~50ms/MB + stalls), while the host
-        adaptive-band aligner (align_banded.py) resolves the
-        near-identical repair pairs at >100 Mcells/s-equivalent.
-        TRGT_TPU_CONSENSUS=device restores the device kernel (the right
-        choice when the accelerator is local and transfer is free)."""
+        In device mode the stage is RACED like every other device
+        stage: the device e2e kernel (nibble-packed direction-bit
+        fetch) runs against the byte-identical host twin and the first
+        finisher wins — the race IS the measured-link routing decision
+        (on a stalled remote tunnel the host twin wins; on a local
+        backend the packed batch fetch wins). CIGAR equality between
+        the two sides is fuzz-enforced (tests/test_e2e_device.py).
+        TRGT_TPU_CONSENSUS=host|device pins one side."""
         from ..genotype import consensus
-        use_device_consensus = (self.use_device and
-                                os.environ.get("TRGT_TPU_CONSENSUS")
-                                == "device")
-        if not use_device_consensus:
+        mode = os.environ.get("TRGT_TPU_CONSENSUS", "race")
+        if not self.use_device or mode == "host":
             if self.num_threads <= 1:
                 return consensus.align_batch
+            return self._host_consensus_aligner()
 
-            def threaded_aligner(backbone, seqs, scoring=(2, 5, 1)):
-                mism, gapo, gape = scoring
-                bb = backbone.encode()
-                from ..kernels.align_host import align_end_to_end
-                uniq = list(dict.fromkeys(seqs))
-                if len(uniq) > 4:
-                    from concurrent.futures import ThreadPoolExecutor
-                    with ThreadPoolExecutor(self.num_threads) as pool:
-                        cigs = list(pool.map(
-                            lambda s: align_end_to_end(
-                                bb, s.encode(), mism, gapo, gape)[1],
-                            uniq))
-                else:
-                    cigs = [align_end_to_end(bb, s.encode(), mism,
-                                             gapo, gape)[1]
-                            for s in uniq]
-                by_seq = dict(zip(uniq, cigs))
-                return [by_seq[s] for s in seqs]
-
-            return threaded_aligner
-
-        def device_aligner(backbone, seqs):
+        def device_aligner(backbone, seqs, scoring=(2, 5, 1)):
             from ..kernels.e2e_device import e2e_align_batch
+            mism, gapo, gape = scoring
             uniq = list(dict.fromkeys(seqs))
             res = e2e_align_batch(
-                [(backbone.encode(), s.encode()) for s in uniq], 2, 5, 1)
+                [(backbone.encode(), s.encode()) for s in uniq],
+                mism, gapo, gape)
             by_seq = {s: cigar for s, (_score, cigar) in zip(uniq, res)}
             return [by_seq[s] for s in seqs]
 
-        return device_aligner
+        if mode == "device":
+            return device_aligner
+
+        host_aligner = self._host_consensus_aligner()
+
+        def raced_aligner(backbone, seqs, scoring=(2, 5, 1)):
+            def host_fn(cancelled=lambda: False, racing=False):
+                return host_aligner(backbone, seqs, scoring,
+                                    cancelled=cancelled, racing=racing)
+
+            # host twin: native adaptive-band ≈ O(len·W) per distinct
+            # pair at ≥250M cells/s
+            est_host = sum(
+                (len(backbone) + len(s)) * 64
+                for s in dict.fromkeys(seqs)) / 250e6
+            return self._hedged(
+                "consensus",
+                lambda: device_aligner(backbone, seqs, scoring),
+                host_fn, 5.0 + 3.0 * est_host)
+
+        return raced_aligner
+
+    def _host_consensus_aligner(self):
+        """Deduplicated + optionally threaded host consensus aligner;
+        accepts the race-protocol kwargs (cancelled, racing)."""
+        def aligner(backbone, seqs, scoring=(2, 5, 1),
+                    cancelled=lambda: False, racing=False):
+            import os as _os
+            mism, gapo, gape = scoring
+            bb = backbone.encode()
+            from ..kernels.align_host import align_end_to_end
+            uniq = list(dict.fromkeys(seqs))
+            n_threads = self.num_threads
+            if racing:
+                n_threads = max(n_threads, min(_os.cpu_count() or 2, 4))
+            if n_threads > 1 and len(uniq) > 4:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(n_threads) as pool:
+                    cigs = list(pool.map(
+                        lambda s: align_end_to_end(
+                            bb, s.encode(), mism, gapo, gape)[1],
+                        uniq))
+            else:
+                cigs = []
+                for s in uniq:
+                    if cancelled():
+                        raise _Cancelled()
+                    cigs.append(align_end_to_end(bb, s.encode(), mism,
+                                                 gapo, gape)[1])
+            by_seq = dict(zip(uniq, cigs))
+            return [by_seq[s] for s in seqs]
+
+        return aligner
 
     def _viterbi(self, hmms, queries):
         def device_fn():

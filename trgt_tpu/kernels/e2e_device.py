@@ -39,7 +39,10 @@ TRACEBACK_BUDGET_BYTES = 1 << 27
 @functools.partial(jax.jit, static_argnames=("mism", "gapo", "gape"))
 def _e2e_scan(pattern_toks, text_toks, mism: int, gapo: int, gape: int):
     """pattern (B,P) uint8 (0 pad), text (B,T) uint8 (0 pad).
-    Returns (H_fin (B,T+1), bits (P+1,B,T+1) uint8)."""
+    Returns (H_fin (B,T+1), packed direction bits
+    (P+1, B, ceil((T+1)/2)) uint8 — two 4-bit cells per byte, packed on
+    device so the host fetch moves half the bytes; the traceback cost
+    of a remote link is the dominant term of this kernel's latency)."""
     B, P = pattern_toks.shape
     T = text_toks.shape[1]
     go_ge = jnp.float32(gapo + gape)
@@ -112,7 +115,13 @@ def _e2e_scan(pattern_toks, text_toks, mism: int, gapo: int, gape: int):
     (H_fin, _), bits_rows = jax.lax.scan(row_step, (H0, D0),
                                          pattern_toks.T)
     bits = jnp.concatenate([bits0[None], bits_rows], axis=0)
-    return H_fin, bits
+    # nibble-pack along the column axis (cell values fit in 4 bits:
+    # 2-bit choice + D-ext + I-ext)
+    T1 = T + 1
+    if T1 % 2:
+        bits = jnp.pad(bits, ((0, 0), (0, 0), (0, 1)))
+    packed = bits[..., 0::2] | (bits[..., 1::2] << 4)
+    return H_fin, packed
 
 
 def _traceback(bits: np.ndarray, pattern: bytes, text: bytes) -> CigarOps:
@@ -225,10 +234,14 @@ def e2e_align_batch(pattern_texts: Sequence[Tuple[bytes, bytes]],
         p, t = pattern_texts[idx]
         p_toks[b, :len(p)] = np.frombuffer(p, dtype=np.uint8)
         t_toks[b, :len(t)] = np.frombuffer(t, dtype=np.uint8)
-    H_fin, bits = _e2e_scan(mesh.put_batch(p_toks),
-                            mesh.put_batch(t_toks), mism, gapo, gape)
+    H_fin, packed = _e2e_scan(mesh.put_batch(p_toks),
+                              mesh.put_batch(t_toks), mism, gapo, gape)
     del H_fin
-    bits = np.asarray(bits)
+    packed = np.asarray(packed)                 # the only device fetch
+    bits = np.empty((packed.shape[0], packed.shape[1],
+                     packed.shape[2] * 2), dtype=np.uint8)
+    bits[..., 0::2] = packed & 0xF
+    bits[..., 1::2] = packed >> 4
     for b, idx in enumerate(todo):
         p, t = pattern_texts[idx]
         # bits rows beyond len(p) used padded pattern chars — but the DP
