@@ -194,6 +194,8 @@ def run_genotype(args) -> None:
         write_queue: "queue.Queue" = queue.Queue(maxsize=4096)
         writer_error = []
 
+        from .pipeline import _timed
+
         def writer_main():
             while True:
                 item = write_queue.get()
@@ -201,10 +203,16 @@ def run_genotype(args) -> None:
                     return
                 w_locus, w_results = item
                 try:
-                    vcf_writer.write(w_locus, w_results)
-                    if bam_writer is not None:
-                        write_spanning_reads(bam_writer, w_locus,
-                                             w_results, output_flank_len)
+                    # "write" = record building + BGZF deflate; it runs
+                    # on this thread and OVERLAPS pipeline compute, so
+                    # it exceeding other stages does not extend wall
+                    # time until it exceeds the whole pipeline
+                    with _timed("write"):
+                        vcf_writer.write(w_locus, w_results)
+                        if bam_writer is not None:
+                            write_spanning_reads(bam_writer, w_locus,
+                                                 w_results,
+                                                 output_flank_len)
                 except Exception as e:   # surfaced on the main thread
                     writer_error.append(e)
                     return
@@ -236,11 +244,13 @@ def run_genotype(args) -> None:
         if writer_error:
             raise writer_error[0]
     else:
+        from .pipeline import _timed
         for locus, results in pipeline.process(loci, bam):
-            vcf_writer.write(locus, results)
-            if bam_writer is not None:
-                write_spanning_reads(bam_writer, locus, results,
-                                     output_flank_len)
+            with _timed("write"):
+                vcf_writer.write(locus, results)
+                if bam_writer is not None:
+                    write_spanning_reads(bam_writer, locus, results,
+                                         output_flank_len)
             n_ok += 1
 
     vcf_writer.close()

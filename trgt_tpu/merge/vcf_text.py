@@ -3,7 +3,19 @@
 Text-level reader over plain or BGZF-compressed VCFs with TRGT version
 sniffing (trgtVersion header, else ALCI / ALLR+integer-AM heuristics →
 0.3.4 / 0.4.0, ref vcf_reader.rs:127-176) and the pre-1.0 POS-shift
-compatibility rule (vcf_reader.rs:108-124)."""
+compatibility rule (vcf_reader.rs:108-124).
+
+STREAMING: text inputs are parsed lazily — `records(contig)` yields
+records one at a time from the open file, so merge memory stays flat in
+input size (the reference's htslib per-contig iterators,
+vcf_processor.rs:237-337, have the same property). This requires the
+input to be position-sorted with contig blocks in a consistent order
+(what `bcftools sort` produces and what the reference's index-required
+inputs already guarantee); disorder raises instead of silently merging
+wrong. Pre-1.0 files stream through a bounded lookahead buffer: the
+POS shift is at most -1, so a record may be emitted once a raw record
+with pos >= emitted.pos + 2 has been read. BCF inputs use the eager
+loader (container format; rare as merge input)."""
 
 import gzip
 import os
@@ -44,11 +56,19 @@ class VcfTextReader:
         self.index = index
         self.header_lines: List[str] = []
         self.samples: List[str] = []
-        self._records_by_contig: Dict[str, List[VcfRecord]] = {}
-        self._load(path)
+        # eager mode (BCF): contig -> sorted records; None = streaming
+        self._records_by_contig: Optional[Dict[str, List[VcfRecord]]] = None
+        self._fh = None
+        self._pending: Optional[VcfRecord] = None
+        self._closed: set = set()
+        if self._is_bcf(path):
+            self._records_by_contig = {}
+            self._load_bcf(path)
+        else:
+            self._open_stream(path)
         self.version = self._sniff_version()
         self.sample_n = len(self.samples)
-        if self.version[0] < 1:
+        if self.version[0] < 1 and self._records_by_contig is not None:
             self._apply_pre10_pos_shift()
 
     # ---- loading ----
@@ -147,30 +167,48 @@ class VcfTextReader:
         for recs in self._records_by_contig.values():
             recs.sort(key=lambda r: r.pos)
 
-    def _load(self, path: str) -> None:
-        if self._is_bcf(path):
-            self._load_bcf(path)
-            return
-        with self._open_lines(path) as fh:
-            first = True
-            for line in fh:
-                line = line.rstrip("\n")
-                if first:
-                    if not line.startswith("##fileformat=VCFv"):
-                        raise ValueError(
-                            f"File {path} is not a valid VCF file")
-                    first = False
-                if line.startswith("##"):
-                    self.header_lines.append(line)
-                elif line.startswith("#CHROM"):
-                    cols = line.split("\t")
-                    self.samples = cols[9:]
-                elif line:
-                    rec = self._parse_record(line)
-                    self._records_by_contig.setdefault(rec.chrom,
-                                                       []).append(rec)
-        for recs in self._records_by_contig.values():
-            recs.sort(key=lambda r: r.pos)
+    def _open_stream(self, path: str) -> None:
+        """Parse the header eagerly; leave the file positioned at the
+        first record for lazy streaming."""
+        self._fh = self._open_lines(path)
+        first = True
+        for line in self._fh:
+            line = line.rstrip("\n")
+            if first:
+                if not line.startswith("##fileformat=VCFv"):
+                    self._fh.close()
+                    self._fh = None
+                    raise ValueError(
+                        f"File {path} is not a valid VCF file")
+                first = False
+            if line.startswith("##"):
+                self.header_lines.append(line)
+            elif line.startswith("#CHROM"):
+                cols = line.split("\t")
+                self.samples = cols[9:]
+                return
+            elif line:
+                # record before #CHROM (malformed but tolerated):
+                # buffer it and start streaming
+                self._pending = self._parse_record(line)
+                return
+        self._fh.close()
+        self._fh = None
+
+    def _next_raw(self) -> Optional[VcfRecord]:
+        if self._pending is not None:
+            rec = self._pending
+            self._pending = None
+            return rec
+        if self._fh is None:
+            return None
+        for line in self._fh:
+            line = line.rstrip("\n")
+            if line:
+                return self._parse_record(line)
+        self._fh.close()
+        self._fh = None
+        return None
 
     def _parse_record(self, line: str) -> VcfRecord:
         cols = line.split("\t")
@@ -239,5 +277,88 @@ class VcfTextReader:
                             int(fields.get("length", "0") or 0)))
         return out
 
-    def records(self, contig: str) -> List[VcfRecord]:
-        return self._records_by_contig.get(contig, [])
+    def records(self, contig: str, scan: bool = False
+                ) -> Iterator[VcfRecord]:
+        """Stream the records of `contig`.
+
+        scan=False (merge): yields the current contig block if it
+        matches, else nothing — callers iterate contigs in the union
+        order and each block is consumed exactly once. scan=True
+        (plot): skip forward past other contigs until `contig` is
+        found (single-shot use).
+
+        Position disorder within a contig, or a contig block appearing
+        after its turn has passed, raises ValueError — silently merging
+        unsorted input would produce wrong output (the reference
+        requires indexed, i.e. sorted, inputs: vcf_reader.rs:19-50)."""
+        if self._records_by_contig is not None:
+            yield from self._records_by_contig.get(contig, [])
+            return
+        if self.version[0] < 1:
+            yield from self._stream_pre10(contig, scan)
+            return
+        yield from self._stream(contig, scan)
+
+    def _stream(self, contig: str, scan: bool) -> Iterator[VcfRecord]:
+        last_pos = None
+        started = False
+        while True:
+            rec = self._next_raw()
+            if rec is None:
+                self._closed.add(contig)
+                return
+            if rec.chrom != contig:
+                if rec.chrom in self._closed:
+                    raise ValueError(
+                        f"{self.path}: contig {rec.chrom!r} records "
+                        f"appear out of order; sort the VCF "
+                        f"(e.g. bcftools sort)")
+                if scan and not started:
+                    # skip-forward mode: blocks before the target are
+                    # consumed and closed
+                    self._closed.add(rec.chrom)
+                    continue
+                self._pending = rec
+                self._closed.add(contig)
+                return
+            if contig in self._closed:
+                raise ValueError(
+                    f"{self.path}: contig {contig!r} records appear "
+                    f"out of order; sort the VCF (e.g. bcftools sort)")
+            started = True
+            if last_pos is not None and rec.pos < last_pos:
+                raise ValueError(
+                    f"{self.path}: records at {contig}:{rec.pos + 1} "
+                    f"are not position-sorted; sort the VCF "
+                    f"(e.g. bcftools sort)")
+            last_pos = rec.pos
+            yield rec
+
+    def _stream_pre10(self, contig: str, scan: bool
+                      ) -> Iterator[VcfRecord]:
+        """Pre-1.0 streaming: apply the POS shift record-by-record
+        through a bounded lookahead heap. The shift is at most -1, so a
+        buffered record with final pos p is safe to emit once a raw
+        record with pos >= p + 2 has been seen (any later record's
+        final pos is >= its raw pos - 1 > p)."""
+        import heapq
+        buf: List[Tuple[int, int, VcfRecord]] = []
+        seq = 0
+        for rec in self._stream(contig, scan):
+            self._apply_shift_one(rec)
+            heapq.heappush(buf, (rec.pos, seq, rec))
+            seq += 1
+            # rec.pos here is the shifted pos; raw was >= rec.pos
+            while buf and buf[0][0] + 2 <= rec.pos:
+                yield heapq.heappop(buf)[2]
+        while buf:
+            yield heapq.heappop(buf)[2]
+
+    def _apply_shift_one(self, rec: VcfRecord) -> None:
+        al = rec.samples[0].get("AL", ".") if rec.samples else "."
+        try:
+            al_min = min(int(x) for x in al.split(",") if x != ".")
+        except ValueError:
+            return
+        if al_min != 0:
+            rec.pos -= 1
