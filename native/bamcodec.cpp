@@ -1305,6 +1305,130 @@ int trgt_endsfree_banded(const uint8_t *pat, int64_t P, const uint8_t *txt,
     return rc;
 }
 
+// ---------------- BAMlet record encoder ----------------
+//
+// Builds one complete spanning-read BAM record (block_size prefix +
+// fixed fields + qname + cigar + 4-bit seq + quals + the BAMlet aux
+// schema TR/rq/[MC]/[MO]/[HP]/SO/EO/AL/FL, ref:
+// src/trgt/writers/write_bam.rs:113-140) in a caller buffer. The
+// Python twin is io/bam_write.write_record + engine/runner's aux list;
+// byte equality is enforced by tests/test_native.py. The per-record
+// Python encode path was the writer thread's dominant cost at the
+// 10^4-locus scale (benchmarks/scale10k.py).
+
+static inline int bam_reg2bin(int64_t beg, int64_t end) {
+    end -= 1;
+    if (beg >> 14 == end >> 14) return ((1 << 15) - 1) / 7 + (beg >> 14);
+    if (beg >> 17 == end >> 17) return ((1 << 12) - 1) / 7 + (beg >> 17);
+    if (beg >> 20 == end >> 20) return ((1 << 9) - 1) / 7 + (beg >> 20);
+    if (beg >> 23 == end >> 23) return ((1 << 6) - 1) / 7 + (beg >> 23);
+    if (beg >> 26 == end >> 26) return ((1 << 3) - 1) / 7 + (beg >> 26);
+    return 0;
+}
+
+// ASCII -> 4-bit nibble ("=ACMGRSVTWYHKDBN", case-insensitive, else N)
+static uint8_t nt16_of(uint8_t c) {
+    static uint8_t tab[256];
+    static bool init = false;
+    if (!init) {
+        const char *codes = "=ACMGRSVTWYHKDBN";
+        for (int i = 0; i < 256; i++) tab[i] = 15;
+        for (int i = 0; i < 16; i++) {
+            tab[(uint8_t)codes[i]] = i;
+            tab[(uint8_t)tolower(codes[i])] = i;
+        }
+        init = true;
+    }
+    return tab[c];
+}
+
+// Returns total bytes written (block_size int32 + record), or -1 if
+// out_cap is too small.
+int64_t trgt_bamlet_record(
+    const char *qname, int64_t flag, int64_t ref_id, int64_t pos,
+    int64_t mapq, const uint32_t *cigar, int64_t n_cigar,
+    const uint8_t *seq, int64_t l_seq, const uint8_t *qual,
+    const char *tr_id, double rq,
+    const uint8_t *mc, int64_t mc_len,          // -1 = absent
+    const int32_t *mo, int64_t mo_len,          // -1 = absent
+    int64_t hp,                                 // -1 = absent
+    int64_t so, int64_t eo, int64_t al, int64_t flank_len,
+    uint8_t *out, int64_t out_cap) {
+    const int64_t qname_len = (int64_t)strlen(qname) + 1;
+    const int64_t tr_len = (int64_t)strlen(tr_id) + 1;
+    int64_t ref_span = 0;
+    for (int64_t i = 0; i < n_cigar; i++) {
+        const uint32_t op = cigar[i] & 0xF;     // MIDNSHP=X
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+            ref_span += cigar[i] >> 4;
+    }
+    int64_t need = 4 + 32 + qname_len + 4 * n_cigar + (l_seq + 1) / 2 +
+                   l_seq + (3 + tr_len) + 7 +
+                   (mc_len >= 0 ? 8 + mc_len : 0) +
+                   (mo_len >= 0 ? 8 + 4 * mo_len : 0) +
+                   (hp >= 0 ? 4 : 0) + 3 * 7 + (8 + 8);
+    if (need > out_cap) return -1;
+    uint8_t *p = out + 4;                       // block_size patched last
+    const int bin_v = bam_reg2bin(pos, pos + (n_cigar ? (ref_span > 0 ?
+                                  ref_span : 1) : 1));
+    auto put_i32 = [&](int32_t v) { memcpy(p, &v, 4); p += 4; };
+    auto put_u32 = [&](uint32_t v) { memcpy(p, &v, 4); p += 4; };
+    put_i32((int32_t)ref_id);
+    put_i32((int32_t)pos);
+    *p++ = (uint8_t)qname_len;
+    *p++ = (uint8_t)mapq;
+    uint16_t bin16 = (uint16_t)bin_v;
+    memcpy(p, &bin16, 2); p += 2;
+    uint16_t nc16 = (uint16_t)n_cigar;
+    memcpy(p, &nc16, 2); p += 2;
+    uint16_t fl16 = (uint16_t)flag;
+    memcpy(p, &fl16, 2); p += 2;
+    put_u32((uint32_t)l_seq);
+    put_i32(-1); put_i32(-1); put_i32(0);       // mate ref/pos, tlen
+    memcpy(p, qname, qname_len); p += qname_len;
+    memcpy(p, cigar, 4 * n_cigar); p += 4 * n_cigar;
+    for (int64_t i = 0; i + 1 < l_seq; i += 2)
+        *p++ = (uint8_t)((nt16_of(seq[i]) << 4) | nt16_of(seq[i + 1]));
+    if (l_seq % 2) *p++ = (uint8_t)(nt16_of(seq[l_seq - 1]) << 4);
+    memcpy(p, qual, l_seq); p += l_seq;
+    // aux: TR:Z
+    *p++ = 'T'; *p++ = 'R'; *p++ = 'Z';
+    memcpy(p, tr_id, tr_len); p += tr_len;
+    // rq:f
+    *p++ = 'r'; *p++ = 'q'; *p++ = 'f';
+    float rqf = (float)rq;
+    memcpy(p, &rqf, 4); p += 4;
+    if (mc_len >= 0) {                          // MC:B:C
+        *p++ = 'M'; *p++ = 'C'; *p++ = 'B'; *p++ = 'C';
+        put_u32((uint32_t)mc_len);
+        memcpy(p, mc, mc_len); p += mc_len;
+    }
+    if (mo_len >= 0) {                          // MO:B:i
+        *p++ = 'M'; *p++ = 'O'; *p++ = 'B'; *p++ = 'i';
+        put_u32((uint32_t)mo_len);
+        memcpy(p, mo, 4 * mo_len); p += 4 * mo_len;
+    }
+    if (hp >= 0) {                              // HP:C
+        *p++ = 'H'; *p++ = 'P'; *p++ = 'C';
+        *p++ = (uint8_t)hp;
+    }
+    auto put_tag_i = [&](char a, char b, int32_t v) {
+        *p++ = (uint8_t)a; *p++ = (uint8_t)b; *p++ = 'i';
+        memcpy(p, &v, 4); p += 4;
+    };
+    put_tag_i('S', 'O', (int32_t)so);
+    put_tag_i('E', 'O', (int32_t)eo);
+    put_tag_i('A', 'L', (int32_t)al);
+    // FL:B:I x2
+    *p++ = 'F'; *p++ = 'L'; *p++ = 'B'; *p++ = 'I';
+    put_u32(2);
+    put_u32((uint32_t)flank_len);
+    put_u32((uint32_t)flank_len);
+    const int32_t block = (int32_t)(p - out - 4);
+    memcpy(out, &block, 4);
+    return p - out;
+}
+
 // ---------------- HMM Viterbi (host twin) ----------------
 //
 // Native twin of trgt_tpu/hmm/model.Hmm.label (ref: the reference

@@ -100,3 +100,82 @@ def test_rans_decode_matches_python_on_corrupt_inputs(lib):
                 py_out = None
             if native_out is not None and py_out is not None:
                 assert native_out == py_out
+
+
+def test_bamlet_record_encoder_matches_python(lib):
+    """The native BAMlet record encoder must be byte-identical to
+    write_record with the equivalent aux list (the runner races no one
+    here — the fast path simply replaces the Python encoder, so any
+    byte difference corrupts the spanning BAM)."""
+    import random
+
+    import numpy as np
+
+    from trgt_tpu.io.bam_write import (BamWriter, encode_bamlet_record,
+                                       encode_aux, pack_seq,
+                                       CIGAR_OP_CODE)
+    import struct
+    from trgt_tpu.io.bam import reg2bin
+
+    def python_record(qname, flag, ref_id, pos, mapq, cigar, bases,
+                      quals, tr_id, rq, meth, mo, hp, so, eo, al, fl):
+        # mirror engine/runner.write_spanning_reads' aux list + the
+        # body of BamWriter.write_record
+        aux = [("TR", "Z", tr_id), ("rq", "f", rq)]
+        if meth is not None:
+            aux.append(("MC", "B", ("C", meth)))
+        if mo is not None:
+            aux.append(("MO", "B", ("i", mo)))
+        if hp is not None:
+            aux.append(("HP", "C", hp))
+        aux += [("SO", "i", so), ("EO", "i", eo), ("AL", "i", al),
+                ("FL", "B", ("I", [fl, fl]))]
+        cigar = cigar or []
+        qname_b = qname.encode() + b"\0"
+        if cigar:
+            ref_len = sum(l for l, op in cigar if op in "MDN=X")
+            bin_v = reg2bin(pos, pos + max(1, ref_len))
+        else:
+            bin_v = reg2bin(pos, pos + 1)
+        parts = [
+            struct.pack("<iiBBHHHIiii", ref_id, pos, len(qname_b), mapq,
+                        bin_v, len(cigar), flag, len(bases), -1, -1, 0),
+            qname_b,
+            struct.pack(f"<{len(cigar)}I",
+                        *((l << 4) | CIGAR_OP_CODE[op]
+                          for l, op in cigar)),
+            pack_seq(bases.decode()),
+            bytes(quals),
+        ]
+        parts.extend(encode_aux(t, ty, v) for t, ty, v in aux)
+        rec = b"".join(parts)
+        return struct.pack("<i", len(rec)) + rec
+
+    rng = random.Random(11)
+    for trial in range(40):
+        L = rng.randrange(1, 300)
+        bases = bytes(rng.choice(b"ACGTN") for _ in range(L))
+        quals = bytes(rng.randrange(0, 60) for _ in range(L))
+        if rng.random() < 0.2:
+            cigar = None
+        else:
+            cigar = [(L, "M")] if rng.random() < 0.5 else \
+                [(L // 2, "="), (1, "I"), (L - L // 2 - 1, "X")]
+            cigar = [(l, op) for l, op in cigar if l > 0]
+        meth = (None if rng.random() < 0.3 else
+                np.array([rng.randrange(256) for _ in range(
+                    rng.randrange(0, 9))], dtype=np.uint8))
+        if meth is not None and rng.random() < 0.5:
+            meth = meth.tobytes()       # reads carry meth as raw bytes
+        mo = (None if rng.random() < 0.3 else
+              np.array([rng.randrange(-500, 500) for _ in range(
+                  rng.randrange(0, 12))], dtype=np.int32))
+        hp = None if rng.random() < 0.5 else rng.randrange(1, 3)
+        args = (f"read/{trial}", rng.choice([0, 16]), rng.randrange(3),
+                rng.randrange(1 << 20), rng.randrange(61), cigar, bases,
+                quals, f"TR{trial}", rng.choice([-1.0, 0.9921875]),
+                meth, mo, hp, rng.randrange(-5, 500),
+                rng.randrange(-5, 500), rng.randrange(2), 50)
+        native_rec = encode_bamlet_record(*args)
+        assert native_rec is not None
+        assert native_rec == python_record(*args), trial

@@ -13,7 +13,7 @@ from typing import Optional
 
 from .. import FULL_VERSION
 from ..io.bam import BamReader
-from ..io.bam_write import BamWriter
+from ..io.bam_write import BamWriter, encode_bamlet_record
 from ..io.catalog import iter_loci
 from ..io.fasta import FastaReader
 from ..io.vcf_write import VcfWriter
@@ -71,13 +71,24 @@ def write_spanning_reads(bam_writer: BamWriter, locus, results,
             flag |= 0x4
             mapq = 0  # htslib's zero-initialized record default
 
+        rq = read.read_qual if read.read_qual is not None else -1.0
+        rec = encode_bamlet_record(
+            read.id, flag, contig_id, pos, mapq, cigar, read.bases,
+            read.quals, locus.id, rq, read.meth, read.mismatch_offsets,
+            read.hp_tag, read.start_offset, read.end_offset,
+            classification, flank_len)
+        if rec is not None:
+            ref_span = sum(length for length, op in (cigar or [])
+                           if op in "MDN=X")
+            bam_writer.write_encoded(rec, contig_id, pos,
+                                     pos + ref_span)
+            continue
         aux = [("TR", "Z", locus.id),
-               ("rq", "f", read.read_qual if read.read_qual is not None
-                else -1.0)]
+               ("rq", "f", rq)]
         if read.meth is not None:
-            aux.append(("MC", "B", ("C", list(read.meth))))
+            aux.append(("MC", "B", ("C", read.meth)))
         if read.mismatch_offsets is not None:
-            aux.append(("MO", "B", ("i", list(read.mismatch_offsets))))
+            aux.append(("MO", "B", ("i", read.mismatch_offsets)))
         if read.hp_tag is not None:
             aux.append(("HP", "C", read.hp_tag))
         aux.append(("SO", "i", read.start_offset))

@@ -113,21 +113,36 @@ def _split(allele_lens: Sequence[int], seqs: Sequence[str],
 def diploid_penalty_matrix(sizes: np.ndarray,
                            counts: np.ndarray) -> np.ndarray:
     """Vectorized penalty over all (short_idx, long_idx) pairs
-    (ref: diploid.rs:51-84)."""
+    (ref: diploid.rs:51-84).
+
+    Stays host numpy against SURVEY §2.1's [JAX] plan column — the
+    measured decision (benchmarks/genotyper_math.py): at the real
+    per-locus sizes (median n ≈ 10-40 distinct lengths) numpy finishes
+    in ~30-350 µs, under even a LOCAL jit dispatch, and three orders
+    below the remote-TPU dispatch+fetch floor. The short-axis is
+    evaluated in blocks so the (block, n, n) temporaries stay bounded
+    at large n (the per-cell reduction is row-independent, so blocking
+    does not change any float accumulation order — results are
+    bit-identical to the unblocked expression)."""
     sizes = np.asarray(sizes, dtype=np.int64)
     counts = np.asarray(counts, dtype=np.float64)
     n = len(sizes)
     # per-read term: 0 if size == allele else 10 + 2*|allele - size|
     diff = np.abs(sizes[:, None] - sizes[None, :])          # (allele, read)
     term = np.where(diff == 0, 0, 10 + 2 * diff).astype(np.float64)
-    short_t = term[:, None, :]                              # (s, 1, read)
-    long_t = term[None, :, :]                               # (1, l, read)
-    lo = np.minimum(short_t, long_t)
-    hi = np.maximum(short_t, long_t)
     expansion = np.abs(sizes[:, None] - sizes[None, :]) > 100
     max_frac = np.where(expansion, 0.05, 0.25)[:, :, None]
-    per_read = lo + max_frac * hi
-    return (per_read * counts[None, None, :]).sum(axis=2)   # (s, l)
+    out = np.empty((n, n), dtype=np.float64)
+    bs = max(1, int(4e6 // max(n * n, 1)))
+    for lo_i in range(0, n, bs):
+        hi_i = min(lo_i + bs, n)
+        short_t = term[lo_i:hi_i, None, :]                  # (b, 1, read)
+        long_t = term[None, :, :]                           # (1, l, read)
+        lo = np.minimum(short_t, long_t)
+        hi = np.maximum(short_t, long_t)
+        per_read = lo + max_frac[lo_i:hi_i] * hi
+        out[lo_i:hi_i] = (per_read * counts[None, None, :]).sum(axis=2)
+    return out
 
 
 def diploid_genotype(sizes: Sequence[int], counts: Sequence[int]) -> Gt:

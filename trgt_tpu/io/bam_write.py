@@ -51,11 +51,80 @@ def encode_aux(tag: str, typ: str, value) -> bytes:
         return out + value.encode("ascii") + b"\0"
     if typ == "B":
         sub, vals = value
-        fmt = {"c": "b", "C": "B", "s": "h", "S": "H",
-               "i": "i", "I": "I", "f": "f"}[sub]
-        return out + sub.encode("ascii") + struct.pack("<I", len(vals)) + \
-            struct.pack(f"<{len(vals)}{fmt}", *vals)
+        dtype = {"c": "<i1", "C": "<u1", "s": "<i2", "S": "<u2",
+                 "i": "<i4", "I": "<u4", "f": "<f4"}[sub]
+        # accept numpy arrays/bytes directly — the long per-read arrays
+        # (MO mismatch offsets, MC meth) dominate the aux path at scale
+        if isinstance(vals, (bytes, bytearray)):
+            arr = np.frombuffer(bytes(vals), dtype=dtype)
+        else:
+            arr = np.asarray(vals, dtype=dtype)
+        return out + sub.encode("ascii") + struct.pack("<I", arr.size) + \
+            arr.tobytes()
     raise ValueError(f"Unknown aux type: {typ}")
+
+
+_ENC_BUF = None
+_ENC_PTR = None
+_ENC_VIEW = None
+
+
+def encode_bamlet_record(qname: str, flag: int, ref_id: int, pos: int,
+                         mapq: int, cigar: Optional[List[Tuple[int, str]]],
+                         bases: bytes, quals: bytes, tr_id: str,
+                         rq: float, meth, mismatch_offsets, hp,
+                         so: int, eo: int, al: int,
+                         flank_len: int):
+    """Native (C++) encoder for the fixed BAMlet aux schema
+    (TR/rq/[MC]/[MO]/[HP]/SO/EO/AL/FL, ref write_bam.rs:113-140);
+    byte-identical to write_record with the equivalent aux list
+    (tests/test_native.py). Returns the length-prefixed record bytes,
+    or None when the native library is unavailable."""
+    from . import native
+    import ctypes
+    global _ENC_BUF, _ENC_PTR, _ENC_VIEW
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    cigar = cigar or []
+    n_cigar = len(cigar)
+    cig_arr = np.fromiter(((length << 4) | CIGAR_OP_CODE[op]
+                           for length, op in cigar), dtype=np.uint32,
+                          count=n_cigar)
+    if meth is None:
+        mc, mc_len = b"", -1
+    elif isinstance(meth, (bytes, bytearray)):
+        mc = bytes(meth)
+        mc_len = len(mc)
+    else:
+        mc = np.asarray(meth, dtype=np.uint8).tobytes()
+        mc_len = len(mc)
+    if mismatch_offsets is not None:
+        mo_b = np.asarray(mismatch_offsets, dtype=np.int32).tobytes()
+        mo_len = len(mo_b) // 4
+    else:
+        mo_b, mo_len = b"", -1
+    cap = (64 + len(qname) + len(tr_id) + 4 * n_cigar + 2 * len(bases)
+           + mc_len + 8 * max(mo_len, 0) + 64)
+    if _ENC_BUF is None or len(_ENC_BUF) < cap:
+        _ENC_BUF = np.empty(max(cap, 1 << 16), dtype=np.uint8)
+        _ENC_PTR = _ENC_BUF.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8))
+        _ENC_VIEW = memoryview(_ENC_BUF)
+    n = lib.trgt_bamlet_record(
+        qname.encode("ascii"), flag, ref_id, pos, mapq,
+        cig_arr.tobytes(), n_cigar, bases, len(bases),
+        quals if isinstance(quals, bytes) else bytes(quals),
+        tr_id.encode("ascii"), float(rq),
+        mc, mc_len, mo_b, mo_len,
+        -1 if hp is None else int(hp),
+        so, eo, al, flank_len, _ENC_PTR, len(_ENC_BUF))
+    if n < 0:
+        return None
+    # a memoryview slice: BgzfWriter.write copies it into its bytearray
+    # immediately, so reusing the scratch buffer on the next call is
+    # safe and the extra tobytes() copy is avoided
+    return _ENC_VIEW[:n]
 
 
 class BaiBuilder:
@@ -103,10 +172,14 @@ class BaiBuilder:
 
 
 class BamWriter:
+    # BGZF level 2: ~6x faster deflate than zlib's default 6 for ~1%
+    # larger output (measured on BAM record bytes) — the BAMlet is an
+    # auxiliary evidence file and its deflate was the writer thread's
+    # dominant cost at the 10^4-locus scale (benchmarks/scale10k.py)
     def __init__(self, path: str, header_text: str,
                  references: List[Tuple[str, int]],
-                 build_index: bool = False):
-        self._bgzf = BgzfWriter(path)
+                 build_index: bool = False, level: int = 2):
+        self._bgzf = BgzfWriter(path, level=level)
         self._path = path
         self._bai = BaiBuilder(len(references)) if build_index else None
         self.header = BamHeader(header_text, references)
@@ -149,6 +222,16 @@ class BamWriter:
             ref_len = sum(length for length, op in cigar if op in "MDN=X")
             self._bai.add(ref_id, pos, pos + ref_len,
                           voff_start, self._bgzf.tell_virtual())
+
+    def write_encoded(self, rec_with_len: bytes, ref_id: int, pos: int,
+                      ref_end: int):
+        """Write a pre-encoded (length-prefixed) record — the native
+        encoder fast path — keeping BAI bookkeeping identical."""
+        voff_start = self._bgzf.tell_virtual()
+        self._bgzf.write(rec_with_len)
+        if self._bai is not None:
+            self._bai.add(ref_id, pos, ref_end, voff_start,
+                          self._bgzf.tell_virtual())
 
     def close(self):
         self._bgzf.close()

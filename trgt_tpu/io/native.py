@@ -103,6 +103,18 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
         lib.trgt_hmm_label.restype = ctypes.c_int
+        lib.trgt_bamlet_record.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,     # cigar as raw bytes
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_double,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,     # mo as raw bytes
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.trgt_bamlet_record.restype = ctypes.c_int64
         _lib = lib
         return _lib
 

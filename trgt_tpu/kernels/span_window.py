@@ -72,9 +72,17 @@ class SpanPlan:
         self.d_cap = d_cap
 
 
+# a miss whose tiles hit the text more than this many times is
+# repeat-degenerate (flank piece sharing motif content with the TR):
+# its merged windows would fail the cover gate anyway, and the find
+# loop itself was measurable at scale — bail to the full DP early
+MAX_SEED_HITS = 256
+
+
 def _seed_diagonals(pattern: bytes, text: bytes, k: int) -> List[int]:
     """All diagonals j - i where a non-overlapping pattern k-mer tile
-    occurs exactly in the text (C-speed bytes.find scans)."""
+    occurs exactly in the text (C-speed bytes.find scans); None when
+    the hit cap is exceeded (caller dispatches the full text)."""
     deltas: List[int] = []
     find = text.find
     for i0 in range(0, len(pattern) - k + 1, k):
@@ -82,6 +90,8 @@ def _seed_diagonals(pattern: bytes, text: bytes, k: int) -> List[int]:
         j = find(tile)
         while j != -1:
             deltas.append(j - i0)
+            if len(deltas) > MAX_SEED_HITS:
+                return None
             j = find(tile, j + 1)
     return deltas
 
@@ -99,7 +109,7 @@ def plan_windows(pattern: bytes, text: bytes, mism: int, gapo: int,
         return None
     deltas = _seed_diagonals(pattern, text, k)
     if not deltas:
-        return None                       # nothing certifiable: full DP
+        return None  # no certifiable seeds (or hit cap): full DP
     deltas = sorted(set(deltas))
     # merge seed diagonals whose text windows overlap; each merged
     # window keeps its member-diagonal extent for the band
