@@ -78,6 +78,10 @@ def main():
         "rss_mb": round(rss_mb, 1),
         "stages": stages,
         "write_frac_of_wall": round(stages.get("write", 0.0) / wall, 3),
+        # thread CPU time of the writer — the wall timer above also
+        # counts GIL waits, overstating the writer's real cost
+        "write_cpu_frac_of_wall": round(
+            stages.get("write_cpu", 0.0) / wall, 3),
         "synth_s": round(synth_s, 1),
         "vcf_bytes": os.path.getsize(vcf),
         "dataset": dsdir,

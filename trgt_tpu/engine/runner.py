@@ -9,6 +9,7 @@ catalog (engine/sharding.py)."""
 import logging
 import os
 import sys
+import time
 from typing import Optional
 
 from .. import FULL_VERSION
@@ -217,13 +218,21 @@ def run_genotype(args) -> None:
                     # "write" = record building + BGZF deflate; it runs
                     # on this thread and OVERLAPS pipeline compute, so
                     # it exceeding other stages does not extend wall
-                    # time until it exceeds the whole pipeline
+                    # time until it exceeds the whole pipeline.
+                    # "write_cpu" is the thread's CPU time — the wall
+                    # timer also counts GIL waits against the compute
+                    # thread, which overstates the writer's real cost
+                    t_cpu = time.thread_time()
                     with _timed("write"):
                         vcf_writer.write(w_locus, w_results)
                         if bam_writer is not None:
                             write_spanning_reads(bam_writer, w_locus,
                                                  w_results,
                                                  output_flank_len)
+                    from .pipeline import STAGE_TIMES, _STAGE_LOCK
+                    with _STAGE_LOCK:
+                        STAGE_TIMES["write_cpu"] += \
+                            time.thread_time() - t_cpu
                 except Exception as e:   # surfaced on the main thread
                     writer_error.append(e)
                     return
