@@ -267,7 +267,13 @@ def main():
             if best is None or full["lps"] > best["lps"]:
                 best = full
             result_line(best, base_metric, partial=False)
-            if full["elapsed"] <= 30:      # healthy window; done
+            # a truly healthy window: fast run AND the device span rate
+            # near its known-good band (a raced run bounded by the host
+            # twins also finishes <30s, but with the kernels crawling —
+            # worth another attempt while budget remains)
+            span_rate = full.get("cells_mps", {}).get("span", 0.0)
+            if full["elapsed"] <= 30 and (span_rate >= 1000
+                                          or attempts >= 2):
                 break
     if best is not None:
         signal.alarm(0)

@@ -48,12 +48,15 @@ def run_genotype(dsdir: str, device: str, genotyper: str, karyotype: str,
         "import sys; sys.path.insert(0, {repo!r})\n"
         "from trgt_tpu.jax_setup import setup_jax_cache\n"
         "setup_jax_cache()\n"
-        "from trgt_tpu.cli import main\n"
+        "from trgt_tpu.cli import exit_cli, main\n"
         "rc = main(['genotype', '--genome', {fasta!r}, '--repeats',\n"
         "           {bed!r}, '--reads', {bam!r}, '--output-prefix',\n"
         "           {prefix!r}, '--device', {device!r}, '--genotyper',\n"
         "           {genotyper!r}, '--karyotype', {karyotype!r}])\n"
-        "sys.exit(rc)\n"
+        # exit_cli skips interpreter teardown (os._exit) when raced
+        # device threads were abandoned on a stalled link — plain
+        # sys.exit aborts with 'FATAL: exception not rethrown' there
+        "exit_cli(rc)\n"
     ).format(repo=REPO, fasta=os.path.join(dsdir, "ref.fasta"),
              bed=os.path.join(dsdir, "repeats.bed"),
              bam=os.path.join(dsdir, "reads.bam"), prefix=out_prefix,
@@ -163,6 +166,15 @@ def main(argv=None):
               f"truth={n_pass}/{n_checked} device={times[args.device]:.1f}s "
               f"host={times['host']:.1f}s", flush=True)
 
+    # preserve manually-committed scale sections across regenerations
+    preserved = ""
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            old = fh.read()
+        idx = old.find("\n## Scale run")
+        if idx != -1:
+            preserved = old[idx:]
+
     with open(args.out, "w") as fh:
         fh.write("# Concordance report — heterogeneous synthetic catalog\n\n")
         fh.write(f"Generated by `python concordance.py --n {args.n} "
@@ -184,6 +196,7 @@ def main(argv=None):
                 fh.write(f"Failures ({r['genotyper']}/{r['karyotype']}): "
                          f"{r['failures']}\n")
         fh.write(f"\nOverall: {'PASS' if all_ok else 'FAIL'}\n")
+        fh.write(preserved)
     print(f"Overall: {'PASS' if all_ok else 'FAIL'} -> {args.out}")
     return 0 if all_ok else 1
 

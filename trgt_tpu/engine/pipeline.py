@@ -117,15 +117,20 @@ def _race(device_fn, host_fn, bound_s: float):
     """Run both on daemon threads; return ("device"|"host", value, err)
     for the FIRST finisher, or (None, None, None) if neither finishes
     within bound_s. An erroring side forfeits to the other (its error
-    is returned only if both sides errored). host_fn receives a
-    zero-arg `cancelled` callable and should poll it between work items
-    so a losing host twin stops burning cores (the device side blocks
-    in native code and cannot be cancelled — it is simply abandoned)."""
+    is returned only if both sides errored). Each side receives a
+    zero-arg `cancelled` callable (if its signature accepts one) and
+    should poll it between work items: a losing host twin stops
+    burning cores, and a losing DEVICE side stops dispatching its
+    remaining chunks — critical on a serialized link, where a zombie
+    device thread grinding through leftover dispatches slows every
+    later device call of the run. A device thread blocked INSIDE a
+    wedged dispatch cannot be interrupted and is simply abandoned."""
     import inspect
     import threading
     box: dict = {}
     done = threading.Event()
-    cancel = threading.Event()
+    cancel_host = threading.Event()
+    cancel_device = threading.Event()
     lock = threading.Lock()
 
     def runner(name, fn):
@@ -136,8 +141,10 @@ def _race(device_fn, host_fn, bound_s: float):
                     box["winner"] = name
                     box["v"] = v
                     if name == "device":
-                        cancel.set()
-        except _Cancelled:
+                        cancel_host.set()
+                    else:
+                        cancel_device.set()
+        except (_Cancelled, InterruptedError):
             return
         except BaseException as e:       # noqa: BLE001 — surfaced below
             with lock:
@@ -146,20 +153,28 @@ def _race(device_fn, host_fn, bound_s: float):
                     return               # let the other side win
         done.set()
 
-    try:
-        params = inspect.signature(host_fn).parameters
-    except (TypeError, ValueError):
-        params = {}
+    def accepts(fn, names):
+        try:
+            params = inspect.signature(fn).parameters
+        except (TypeError, ValueError):
+            return {}
+        return {n: True for n in names if n in params}
+
+    host_params = accepts(host_fn, ("cancelled", "racing"))
     kwargs = {}
-    if "cancelled" in params:
-        kwargs["cancelled"] = cancel.is_set
-    if "racing" in params:
+    if "cancelled" in host_params:
+        kwargs["cancelled"] = cancel_host.is_set
+    if "racing" in host_params:
         # the device side blocks on the link, so its core is free —
         # raced host twins may parallelize beyond --threads
         kwargs["racing"] = True
     host_call = (lambda: host_fn(**kwargs)) if kwargs else host_fn
+    if accepts(device_fn, ("cancelled",)):
+        dev_call = lambda: device_fn(cancelled=cancel_device.is_set)
+    else:
+        dev_call = device_fn
     threads = {}
-    for name, fn in (("device", device_fn), ("host", host_call)):
+    for name, fn in (("device", dev_call), ("host", host_call)):
         t = threading.Thread(target=runner, args=(name, fn), daemon=True,
                              name=f"trgt-race-{name}")
         threads[name] = t
@@ -168,10 +183,11 @@ def _race(device_fn, host_fn, bound_s: float):
     if threads["device"].is_alive():
         _ABANDONED_DEVICE_THREADS.append(threads["device"])
     if timed_out:
-        # stop the abandoned host twin at its next cancelled() poll —
+        # stop both abandoned sides at their next cancelled() poll —
         # the caller re-runs host_fn() on the main thread and must not
-        # compete with a zombie twin for cores during stall recovery
-        cancel.set()
+        # compete with zombie threads during stall recovery
+        cancel_host.set()
+        cancel_device.set()
         return None, None, None
     with lock:
         if "winner" in box:
@@ -308,11 +324,22 @@ class BatchPipeline:
         if losses.get(stage, 0) >= 2:
             skips = self._stage_skips
             skips[stage] = skips.get(stage, 0) + 1
-            if skips[stage] < self.REARM_AFTER_SKIPS:
+            rearms = getattr(self, "_stage_rearms", None)
+            if rearms is None:
+                rearms = self._stage_rearms = {}
+            # exponential backoff: each failed re-arm doubles the wait
+            # (per-locus stages like consensus would otherwise re-race
+            # every few loci through a long degraded window); a device
+            # win resets the backoff below
+            threshold = min(
+                self.REARM_AFTER_SKIPS * (1 << rearms.get(stage, 0)),
+                96)
+            if skips[stage] < threshold:
                 return host_fn()
             # re-arm: drop to one loss so this call races again; a win
             # clears the latch, a loss re-latches immediately
             skips[stage] = 0
+            rearms[stage] = rearms.get(stage, 0) + 1
             losses[stage] = 1
             log.info("re-arming latched device %s stage for one race",
                      stage)
@@ -342,6 +369,8 @@ class BatchPipeline:
             raise err
         if winner == "device":
             losses[stage] = 0
+            if getattr(self, "_stage_rearms", None):
+                self._stage_rearms.pop(stage, None)
             return value
         if winner == "host":
             n = losses[stage] = losses.get(stage, 0) + 1
@@ -506,12 +535,13 @@ class BatchPipeline:
         sub_patterns, sub_texts, sub_bands, owners = span_window.expand(
             plans, patterns, texts)
 
-        def device_fn():
+        def device_fn(cancelled=lambda: False):
             # Pallas-vs-XLA selection lives inside the kernel module
             from ..kernels.semiglobal import flank_align_batch_multi
             return flank_align_batch_multi(sub_patterns, sub_texts,
                                            sc.mism_scr, sc.gapo_scr,
-                                           sc.gape_scr)
+                                           sc.gape_scr,
+                                           cancelled=cancelled)
 
         def host_fn(cancelled=lambda: False, racing=False):
             import os as _os
@@ -703,9 +733,10 @@ class BatchPipeline:
 
         pair_eds: List[int] = []
         if all_pairs:
-            def device_fn():
+            def device_fn(cancelled=lambda: False):
                 from ..kernels.editdist import edit_distances_batch
-                return edit_distances_batch(all_pairs)
+                return edit_distances_batch(all_pairs,
+                                            cancelled=cancelled)
 
             def host_fn(cancelled=lambda: False):
                 from ..kernels.align_host import edit_distance
@@ -809,13 +840,14 @@ class BatchPipeline:
                 return consensus.align_batch
             return self._host_consensus_aligner()
 
-        def device_aligner(backbone, seqs, scoring=(2, 5, 1)):
+        def device_aligner(backbone, seqs, scoring=(2, 5, 1),
+                           cancelled=lambda: False):
             from ..kernels.e2e_device import e2e_align_batch
             mism, gapo, gape = scoring
             uniq = list(dict.fromkeys(seqs))
             res = e2e_align_batch(
                 [(backbone.encode(), s.encode()) for s in uniq],
-                mism, gapo, gape)
+                mism, gapo, gape, cancelled=cancelled)
             by_seq = {s: cigar for s, (_score, cigar) in zip(uniq, res)}
             return [by_seq[s] for s in seqs]
 
@@ -834,10 +866,12 @@ class BatchPipeline:
             est_host = sum(
                 (len(backbone) + len(s)) * 64
                 for s in dict.fromkeys(seqs)) / 250e6
-            return self._hedged(
-                "consensus",
-                lambda: device_aligner(backbone, seqs, scoring),
-                host_fn, 5.0 + 3.0 * est_host)
+            def dev_fn(cancelled=lambda: False):
+                return device_aligner(backbone, seqs, scoring,
+                                      cancelled=cancelled)
+
+            return self._hedged("consensus", dev_fn, host_fn,
+                                5.0 + 3.0 * est_host)
 
         return raced_aligner
 
@@ -874,9 +908,10 @@ class BatchPipeline:
         return aligner
 
     def _viterbi(self, hmms, queries):
-        def device_fn():
+        def device_fn(cancelled=lambda: False):
             from ..kernels.viterbi import viterbi_batch_multi
-            return viterbi_batch_multi(hmms, queries)
+            return viterbi_batch_multi(hmms, queries,
+                                       cancelled=cancelled)
 
         def host_fn(cancelled=lambda: False):
             out = []

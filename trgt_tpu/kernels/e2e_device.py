@@ -168,11 +168,17 @@ def _traceback(bits: np.ndarray, pattern: bytes, text: bytes) -> CigarOps:
 
 
 def e2e_align_batch(pattern_texts: Sequence[Tuple[bytes, bytes]],
-                    mism: int, gapo: int, gape: int):
+                    mism: int, gapo: int, gape: int,
+                    cancelled=lambda: False):
     """Batched global affine alignment; returns [(score, cigar)] with
-    '='/'X'/'I'/'D' ops ('I' consumes text, 'D' consumes pattern)."""
+    '='/'X'/'I'/'D' ops ('I' consumes text, 'D' consumes pattern).
+
+    `cancelled` is polled between bucket/chunk dispatches: a raced
+    device side that lost must stop occupying the serialized link."""
     if not pattern_texts:
         return []
+    if cancelled():
+        raise InterruptedError("raced device side cancelled")
     # group by (pattern, text) length buckets to bound padding waste
     buckets = {}
     for i, (p, t) in enumerate(pattern_texts):
@@ -182,7 +188,7 @@ def e2e_align_batch(pattern_texts: Sequence[Tuple[bytes, bytes]],
         out = [None] * len(pattern_texts)
         for _key, idxs in sorted(buckets.items()):
             sub = e2e_align_batch([pattern_texts[i] for i in idxs],
-                                  mism, gapo, gape)
+                                  mism, gapo, gape, cancelled=cancelled)
             for i, r in zip(idxs, sub):
                 out[i] = r
         return out
@@ -207,6 +213,8 @@ def e2e_align_batch(pattern_texts: Sequence[Tuple[bytes, bytes]],
     if len(pattern_texts) > max_chunk:
         out = []
         for lo, hi in chunk_ranges(len(pattern_texts), max_chunk):
+            if cancelled():
+                raise InterruptedError("raced device side cancelled")
             out.extend(e2e_align_batch(pattern_texts[lo:hi], mism, gapo,
                                        gape))
         return out

@@ -71,10 +71,17 @@ def _edit_scan(a_toks, b_toks):
 
 
 
-def edit_distances_batch(pairs: Sequence[tuple]) -> List[int]:
-    """Exact edit distances for a list of (bytes, bytes) pairs."""
+def edit_distances_batch(pairs: Sequence[tuple],
+                         cancelled=lambda: False) -> List[int]:
+    """Exact edit distances for a list of (bytes, bytes) pairs.
+
+    `cancelled` is polled between chunk dispatches: a raced device side
+    that lost must stop occupying the serialized device link
+    (engine/pipeline._race)."""
     if not pairs:
         return []
+    if cancelled():
+        raise InterruptedError("raced device side cancelled")
     from . import semiglobal
     if semiglobal._use_pallas():
         # one dispatch per 4096 pairs: tunnel dispatches cost ~90ms fixed
@@ -88,9 +95,13 @@ def edit_distances_batch(pairs: Sequence[tuple]) -> List[int]:
         try:
             out = []
             for lo, hi in chunk_ranges(len(norm), 4096):
+                if cancelled():
+                    raise InterruptedError("raced device side cancelled")
                 out.extend(edit_distances_leaf_pallas(norm[lo:hi],
                                                       interpret=False))
             return out
+        except InterruptedError:
+            raise
         except Exception as e:
             semiglobal._PALLAS_BROKEN = True
             import logging
@@ -100,6 +111,8 @@ def edit_distances_batch(pairs: Sequence[tuple]) -> List[int]:
     if len(pairs) > 512:
         out = []
         for lo, hi in chunk_ranges(len(pairs)):
+            if cancelled():
+                raise InterruptedError("raced device side cancelled")
             out.extend(edit_distances_batch(pairs[lo:hi]))
         return out
     # put the shorter sequence on the scan axis

@@ -240,14 +240,19 @@ def _tokenize(seqs: Sequence[bytes], length: int, pad: int) -> np.ndarray:
 
 def flank_align_batch_multi(patterns: Sequence[bytes],
                             seqs: Sequence[bytes], mism: int, gapo: int,
-                            gape: int):
+                            gape: int, cancelled=lambda: False):
     """Batched ends-free alignment with a per-item pattern (all patterns
     must have equal length — flank pieces always do). Large batches are
     chunked to a bounded batch dimension (compile-time control).
 
+    `cancelled` is polled between bucket/chunk dispatches: a raced
+    device side that lost must stop occupying the serialized link.
+
     Returns list of (score, n_matches, (text_start, text_end))."""
     if not seqs:
         return []
+    if cancelled():
+        raise InterruptedError("raced device side cancelled")
     assert len(patterns) == len(seqs)
     global _PALLAS_BROKEN
     # group by text-length bucket so short texts don't pad to the
@@ -265,7 +270,7 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
         for _tb, idxs in sorted(buckets.items()):
             sub = flank_align_batch_multi(
                 [patterns[i] for i in idxs], [seqs[i] for i in idxs],
-                mism, gapo, gape)
+                mism, gapo, gape, cancelled=cancelled)
             for i, r in zip(idxs, sub):
                 out[i] = r
         return out
@@ -278,10 +283,14 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
         try:
             out = []
             for lo, hi in chunk_ranges(len(seqs), 4096):
+                if cancelled():
+                    raise InterruptedError("raced device side cancelled")
                 out.extend(flank_align_leaf_pallas(
                     patterns[lo:hi], seqs[lo:hi], mism, gapo, gape,
                     interpret=False))
             return out
+        except InterruptedError:
+            raise
         except Exception as e:
             _PALLAS_BROKEN = True
             log.warning("Pallas flank kernel failed (%s); using the XLA "
@@ -289,6 +298,8 @@ def flank_align_batch_multi(patterns: Sequence[bytes],
     if len(seqs) > 512:
         out = []
         for lo, hi in chunk_ranges(len(seqs)):
+            if cancelled():
+                raise InterruptedError("raced device side cancelled")
             out.extend(flank_align_batch_multi(
                 patterns[lo:hi], seqs[lo:hi], mism, gapo, gape))
         return out

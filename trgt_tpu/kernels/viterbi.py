@@ -259,8 +259,12 @@ def encode_queries(queries: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def viterbi_batch_multi(hmms: Sequence[Hmm],
-                        queries: Sequence[str]) -> List[List[int]]:
+                        queries: Sequence[str],
+                        cancelled=lambda: False) -> List[List[int]]:
     """Device-batched [hmms[i].label(queries[i])] — hmms may differ.
+
+    `cancelled` is polled between bucket/chunk dispatches: a raced
+    device side that lost must stop occupying the serialized link.
 
     Heterogeneous requests are grouped into (query-length, state-count)
     buckets before stacking so one 10kb allele doesn't pad a whole
@@ -280,6 +284,8 @@ def viterbi_batch_multi(hmms: Sequence[Hmm],
         out: List[List[int]] = [[] for _ in queries]
         for k in sorted(groups):
             idxs = groups[k]
+            if cancelled():
+                raise InterruptedError("raced device side cancelled")
             sub = viterbi_batch_multi([hmms[i] for i in idxs],
                                       [queries[i] for i in idxs])
             for i, r in zip(idxs, sub):
@@ -288,6 +294,8 @@ def viterbi_batch_multi(hmms: Sequence[Hmm],
     if len(queries) > 512:
         out = []
         for lo, hi in chunk_ranges(len(queries)):
+            if cancelled():
+                raise InterruptedError("raced device side cancelled")
             out.extend(viterbi_batch_multi(hmms[lo:hi], queries[lo:hi]))
         return out
     nonempty = [(i, h, q) for i, (h, q) in enumerate(zip(hmms, queries))
