@@ -260,7 +260,7 @@ class BatchPipeline:
     # after this many seconds — a stall episode early in a million-locus
     # run must not forfeit the TPU for the remaining hours
     REARM_AFTER_SKIPS = 6
-    REPROBE_AFTER_S = 120.0
+    REPROBE_AFTER_S = 60.0
 
     def _reprobe_device(self):
         """Async re-probe of a whole-run-latched device: launch a tiny
@@ -289,6 +289,78 @@ class BatchPipeline:
 
         t = threading.Thread(target=probe, daemon=True,
                              name="trgt-device-reprobe")
+        self._reprobe_thread = t
+        t.start()
+
+    def _start_link_probe(self):
+        """Launch the warm/link probe on a daemon thread (idempotent).
+        Called at pipeline start so the probe overlaps the first
+        extract batch instead of delaying the first raced stage."""
+        if getattr(self, "_probe_started", False) or \
+                not self.use_device or not self.hedge:
+            return
+        import jax
+        if jax.default_backend() != "tpu":
+            return
+        import threading
+        self._probe_started = True
+        self._probe_box = {}
+        self._probe_start_t = time.monotonic()
+
+        def probe():
+            try:
+                import jax.numpy as jnp
+                jax.jit(lambda a: a * 2)(
+                    jnp.arange(128.0)).block_until_ready()
+                t0 = time.monotonic()
+                np.asarray(jax.jit(lambda a: a + 1)(
+                    jnp.zeros((1024, 1024), jnp.float32)))
+                self._probe_box["fetch_s"] = time.monotonic() - t0
+            except Exception as e:       # noqa: BLE001 — re-raised
+                self._probe_box["err"] = e
+
+        t = threading.Thread(target=probe, daemon=True,
+                             name="trgt-link-probe")
+        self._probe_thread = t
+        t.start()
+
+    def _reprobe_link(self):
+        """Async throughput reprobe while degraded-latched: one small
+        dispatch + 4MB fetch on a daemon thread, rate-limited; when the
+        link measures healthy again, un-latch all stages."""
+        import threading
+        now = time.monotonic()
+        if getattr(self, "_reprobe_thread", None) is not None and \
+                self._reprobe_thread.is_alive():
+            return
+        if now - getattr(self, "_last_probe_t", 0.0) < self.REPROBE_AFTER_S:
+            return
+        self._last_probe_t = now
+
+        def probe():
+            try:
+                import jax
+                import jax.numpy as jnp
+                jax.jit(lambda a: a * 2)(
+                    jnp.arange(128.0)).block_until_ready()
+                t0 = time.monotonic()
+                np.asarray(jax.jit(lambda a: a + 1)(
+                    jnp.zeros((1024, 1024), jnp.float32)))
+                fetch_s = time.monotonic() - t0
+            except Exception:    # noqa: BLE001 — stay latched
+                return
+            if fetch_s <= 1.0:
+                log.info("link throughput recovered (4MB fetch %.2fs); "
+                         "re-arming device stages", fetch_s)
+                self._degraded = False
+                losses = getattr(self, "_stage_losses", None)
+                if losses is not None:
+                    for s in ("spans", "editdist", "viterbi",
+                              "consensus"):
+                        losses.pop(s, None)
+
+        t = threading.Thread(target=probe, daemon=True,
+                             name="trgt-link-reprobe")
         self._reprobe_thread = t
         t.start()
 
@@ -322,6 +394,12 @@ class BatchPipeline:
             losses = self._stage_losses = {}
             self._stage_skips = {}
         if losses.get(stage, 0) >= 2:
+            if getattr(self, "_degraded", False):
+                # degraded-link latch: recovery is detected by the
+                # zero-cost async throughput reprobe, NOT by burning
+                # re-arm races (each lost race costs a slow dispatch)
+                self._reprobe_link()
+                return host_fn()
             skips = self._stage_skips
             skips[stage] = skips.get(stage, 0) + 1
             rearms = getattr(self, "_stage_rearms", None)
@@ -344,25 +422,43 @@ class BatchPipeline:
             log.info("re-arming latched device %s stage for one race",
                      stage)
         if not getattr(self, "_hedge_warm", False):
-            # pay backend init + a tiny dispatch before the first race
-            # (else init time counts as a spurious device loss)
+            # the warm probe (backend init + tiny dispatch + a ~4MB
+            # fetch timing the DATA path) runs on its own thread,
+            # overlapping the first extract batch — it must not sit on
+            # the critical path. Until it reports, stages run host-side
+            # WITHOUT counting losses; a degraded fetch pre-latches the
+            # stages (re-arm backoff catches recovery); a wedged probe
+            # (>60s) latches the device off whole.
+            self._start_link_probe()
+            t = getattr(self, "_probe_thread", None)
+            if t is not None and t.is_alive():
+                t.join(timeout=0.05)
+            if t is not None and t.is_alive():
+                if time.monotonic() - self._probe_start_t > 60.0:
+                    log.warning("device init/probe exceeded 60s (link "
+                                "wedged?); running on host until a "
+                                "re-probe lands")
+                    _ABANDONED_DEVICE_THREADS.append(t)
+                    self._hedge_warm = True
+                    self._device_off = True
+                    self._last_probe_t = time.monotonic()
+                return host_fn()
             self._hedge_warm = True
-
-            def tiny():
-                import jax.numpy as jnp
-                jax.jit(lambda a: a * 2)(
-                    jnp.arange(128.0)).block_until_ready()
-
-            ok, _, err = _run_with_deadline(tiny, 60.0)
+            err = self._probe_box.get("err") if t is not None else None
             if err is not None:
                 raise err
-            if not ok:
-                log.warning("device init/probe exceeded 60s (link "
-                            "wedged?); running on host until a "
-                            "re-probe lands")
-                self._device_off = True
+            fetch_s = (self._probe_box.get("fetch_s", 0.0)
+                       if t is not None else 0.0)
+            if fetch_s > 1.0:
+                log.info("device fetch probe took %.2fs for 4MB "
+                         "(degraded link); running stages host-side "
+                         "until a throughput reprobe recovers", fetch_s)
+                self._degraded = True
                 self._last_probe_t = time.monotonic()
-                return host_fn()
+                for s in ("spans", "editdist", "viterbi", "consensus"):
+                    losses[s] = 2
+                if losses.get(stage, 0) >= 2:
+                    return host_fn()
         winner, value, err = _race(device_fn, host_fn,
                                    max(deadline_s, 60.0))
         if err is not None:
@@ -404,6 +500,7 @@ class BatchPipeline:
             if batch:
                 yield batch
 
+        self._start_link_probe()
         with ThreadPoolExecutor(1) as prefetch:
             prev = None
             for batch in batches():
