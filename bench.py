@@ -122,6 +122,21 @@ def run_pipeline_inproc(dsdir: str, device_mode: str, stride: int) -> dict:
             "pct_peak": peak}
 
 
+def warm_device_pass(dsdir: str, stride: int):
+    """Warm pass on the SAME catalog with hedging OFF: every device
+    shape is dispatched (a raced warm pass would cancel losing device
+    sides mid-way and leave shapes cold), paying the per-process
+    jit-trace + compile-cache-load tax (~1s/shape, measured ~40s across
+    the catalog's shape lattice) so the timed pass measures steady
+    state — identical shapes by construction."""
+    import os as _os
+    _os.environ["TRGT_TPU_HEDGE"] = "0"
+    try:
+        run_pipeline_inproc(dsdir, "auto", stride)
+    finally:
+        _os.environ.pop("TRGT_TPU_HEDGE", None)
+
+
 def run_pipeline_subproc(dsdir: str, device_mode: str, stride: int,
                          timeout_s: float, warmup: bool):
     """Run (optionally warmup+) timed pipeline in a subprocess.
@@ -132,10 +147,7 @@ def run_pipeline_subproc(dsdir: str, device_mode: str, stride: int,
         "import sys, json; sys.path.insert(0, {repo!r})\n"
         "import bench\n"
         "w = {warmup!r}\n"
-        # warm the compile cache on the stride subset (hits the same
-        # shape buckets at ~1/8 the cost of a full replay)
-        "if w: bench.run_pipeline_inproc({dsdir!r}, {mode!r},\n"
-        "                                bench.HOST_STRIDE)\n"
+        "if w: bench.warm_device_pass({dsdir!r}, {stride!r})\n"
         "r = bench.run_pipeline_inproc({dsdir!r}, {mode!r}, {stride!r})\n"
         "print('RESULT', json.dumps(r))\n"
     ).format(repo=REPO, dsdir=dsdir, mode=device_mode, warmup=warmup,
@@ -274,7 +286,7 @@ def main():
             continue
         budget = min(_remaining() - 60, 240)
         full = run_pipeline_subproc(dsdir, "auto", 1, timeout_s=budget,
-                                    warmup=False)
+                                    warmup=True)
         attempts += 1
         if full is not None:
             if best is None or full["lps"] > best["lps"]:

@@ -135,8 +135,21 @@ def edit_distances_leaf_pallas(pairs, interpret=None):
                   128)
     from .. import mesh as _mesh
     from . import telemetry
-    B = _mesh.batch_bucket(len(pairs),
-                           minimum=8 * _mesh.batch_multiple())
+    if interpret:
+        B = _mesh.batch_bucket(len(pairs),
+                               minimum=8 * _mesh.batch_multiple())
+    else:
+        # deterministic batch SHAPE per (Pp, W): one compiled variant
+        # per problem shape (see kernels/bucket.const_cells_batch)
+        from .bucket import const_cells_batch
+        B = _mesh.round_up_batch(const_cells_batch(
+            Pp * W, target=300_000_000, lo=256, hi=4096))
+        if len(pairs) > B:
+            out = []
+            for lo_i in range(0, len(pairs), B):
+                out.extend(edit_distances_leaf_pallas(
+                    pairs[lo_i:lo_i + B], interpret=interpret))
+            return out
     telemetry.add_cells("editdist", B * Pp * W)
     a_toks = np.zeros((B, Pp), dtype=np.uint8)
     b_toks = np.zeros((B, W), dtype=np.uint8)

@@ -242,15 +242,20 @@ for _i, _c in enumerate(b"#ATCG"):
     _ENC_TABLE[_c] = _i
 
 
-def encode_queries(queries: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+def encode_queries(queries: Sequence[str],
+                   pad_batch: int = None) -> Tuple[np.ndarray, np.ndarray]:
     """'#'+q+'#' encoded 0..4, padded with 0s into bucketed shapes.
-    Returns (tokens, lengths)."""
+    Returns (tokens, lengths). `pad_batch` forces the batch SHAPE (the
+    deterministic per-problem-shape batch, see viterbi_batch_multi)."""
     from .. import mesh
     lens = np.array([len(q) + 2 for q in queries], dtype=np.int32)
     # minimum matches the viterbi_batch_multi group key so a group's
     # padded length equals its bucket key (one compile shape per group)
     L = _bucket(int(lens.max()), minimum=64)
-    B = mesh.batch_bucket(len(queries))
+    if pad_batch is not None:
+        B = mesh.round_up_batch(max(pad_batch, len(queries)))
+    else:
+        B = mesh.batch_bucket(len(queries))
     toks = np.zeros((B, L), dtype=np.int32)
     for b, q in enumerate(queries):
         arr = np.frombuffer(("#" + q + "#").encode(), dtype=np.uint8)
@@ -303,6 +308,10 @@ def viterbi_batch_multi(hmms: Sequence[Hmm],
     out = [[] for _ in queries]
     if not nonempty:
         return out
+    # NOTE on batch shapes: the (L, B, K) traceback fetch scales with
+    # the padded batch, so B stays tight (po2 of the group size) — the
+    # per-process compile-load tax for B variants is paid by the bench
+    # warm pass (bench.py warmup) and amortized over batches at scale
     toks, lens = encode_queries([q for _, _, q in nonempty])
     B, L = toks.shape
     batch_hmms = [h for _, h, _ in nonempty]

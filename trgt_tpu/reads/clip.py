@@ -12,18 +12,25 @@ _SPLIT_QUERY_OPS = frozenset("MIX=S")   # query-consuming ops
 def _clip_meth(bases: bytes, meth: Optional[bytes], region_start: int,
                region_end: int) -> Optional[bytes]:
     # ref: clip_region.rs:40-58 / clip_bases.rs:22-40 — walk CpG sites, keep
-    # profile entries whose C index lies in [region_start, region_end)
+    # profile entries whose C index lies in [region_start, region_end).
+    # Vectorized (the per-base Python loop was a writer-path hotspot at
+    # the 10^4-locus scale): CG ordinals stand in for meth_index, so the
+    # result is byte-identical to the scan, including the
+    # meth-shorter-than-CG-count truncation.
     if meth is None:
         return None
-    clipped = []
-    meth_index = 0
-    for index in range(len(bases) - 1):
-        if bases[index:index + 2] == b"CG":
-            if region_start <= index < region_end:
-                if meth_index < len(meth):
-                    clipped.append(meth[meth_index])
-            meth_index += 1
-    return bytes(clipped)
+    import numpy as np
+    arr = np.frombuffer(bases, dtype=np.uint8)
+    if arr.size < 2:
+        return b""
+    cg = np.nonzero((arr[:-1] == 0x43) & (arr[1:] == 0x47))[0]  # C, G
+    ordinals = np.nonzero((cg >= region_start) & (cg < region_end))[0]
+    ordinals = ordinals[ordinals < len(meth)]
+    if isinstance(meth, (bytes, bytearray)):
+        mv = np.frombuffer(bytes(meth), dtype=np.uint8)
+    else:
+        mv = np.asarray(meth, dtype=np.uint8)
+    return mv[ordinals].tobytes()
 
 
 def _clip_cigar_to_region(cigar: Cigar,
