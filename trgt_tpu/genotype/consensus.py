@@ -53,6 +53,11 @@ def repair_consensus(reference: str, seqs: Sequence[str],
         else:
             groups[key] = [seq, operations, 1]
 
+    # byte -> vote column (A T C G), 255 = invalid (must raise below)
+    col_lut = np.full(256, 255, dtype=np.uint8)
+    for col, code in enumerate((65, 84, 67, 71)):
+        col_lut[code] = col
+
     for seq, operations, mult in groups.values():
         seq_b = np.frombuffer(seq.encode(), dtype=np.uint8)
         x_pos = 0
@@ -60,16 +65,15 @@ def repair_consensus(reference: str, seqs: Sequence[str],
         for op_len, op in operations:
             if op in ("=", "M", "X"):
                 chunk = seq_b[x_pos:x_pos + op_len]
-                rows = counts[y_pos:y_pos + op_len]
-                seen = np.zeros(op_len, dtype=bool)
-                for col, code in enumerate((65, 84, 67, 71)):  # A T C G
-                    m = chunk == code
-                    rows[:, col] += m * mult
-                    seen |= m
-                if not seen.all():
+                cols = col_lut[chunk]
+                bad = np.nonzero(cols == 255)[0]
+                if bad.size:
                     # parity with the dict-lookup loop: non-ATCG bases
                     # are a caller bug and must raise, not miscount
-                    raise KeyError(int(chunk[~seen][0]))
+                    raise KeyError(int(chunk[bad[0]]))
+                # one indexed add per run (row indices are unique, so
+                # fancy-index += is exact)
+                counts[y_pos + np.arange(op_len), cols] += mult
                 x_pos += op_len
                 y_pos += op_len
             elif op == "D":
