@@ -134,6 +134,81 @@ def test_device_off_reprobe_rearms():
     assert not p._device_off
 
 
+def test_degraded_probe_prelatches_all_stages():
+    """A degraded link fetch probe pre-latches every raced stage
+    host-side (no lost races at all); the async throughput reprobe is
+    responsible for recovery."""
+    p = _pipeline()
+    p._hedge_warm = False
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        p._probe_started = True              # pretend probe ran
+        p._probe_box = {"fetch_s": 5.0}      # degraded
+
+        class DoneThread:
+            @staticmethod
+            def is_alive():
+                return False
+
+        p._probe_thread = DoneThread()
+        p._probe_start_t = 0.0
+
+        def never():
+            raise AssertionError("degraded link must not race")
+
+        assert p._hedged("spans", never, lambda: "host", 30) == "host"
+        assert p._degraded
+        for s in ("spans", "editdist", "viterbi", "consensus"):
+            assert p._stage_losses[s] >= 2
+        # subsequent calls stay host-side without re-arm races
+        assert p._hedged("viterbi", never, lambda: "host", 30) == "host"
+
+
+def test_healthy_probe_races():
+    p = _pipeline()
+    p._hedge_warm = False
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        p._probe_started = True
+        p._probe_box = {"fetch_s": 0.1}
+
+        class DoneThread:
+            @staticmethod
+            def is_alive():
+                return False
+
+        p._probe_thread = DoneThread()
+        p._probe_start_t = 0.0
+        assert p._hedged("spans", lambda: "device",
+                         slow("host"), 30) == "device"
+
+
+def test_pending_probe_runs_host_without_loss():
+    p = _pipeline()
+    p._hedge_warm = False
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        import time as _t
+        p._probe_started = True
+        p._probe_box = {}
+
+        class BusyThread:
+            @staticmethod
+            def is_alive():
+                return True
+
+            @staticmethod
+            def join(timeout=None):
+                return None
+
+        p._probe_thread = BusyThread()
+        p._probe_start_t = _t.monotonic()
+
+        def never():
+            raise AssertionError("must not race while probe pending")
+
+        assert p._hedged("spans", never, lambda: "host", 30) == "host"
+        assert p._stage_losses.get("spans", 0) == 0   # not a loss
+        assert not p._hedge_warm                      # still pending
+
+
 def test_device_error_forfeits_to_host():
     p = _pipeline()
 
