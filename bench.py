@@ -247,12 +247,18 @@ def main():
     # contemporaneous host anchor: the host path on the SAME catalog in
     # the SAME session — identical workload, box mood, and code, so
     # vs_baseline is a true device-mode/host-mode ratio (the committed
-    # HOST_BASELINE stays in the payload as the cross-round anchor)
-    host_now = run_pipeline_subproc(dsdir, "host", 1,
-                                    timeout_s=min(_remaining() - 120,
-                                                  120),
-                                    warmup=False)
-    host_lps = host_now["lps"] if host_now else committed_lps
+    # HOST_BASELINE stays in the payload as the cross-round anchor).
+    # Two runs, averaged: a single host measurement has ±10% box noise
+    # and would coin-flip ratios near 1.0.
+    host_runs = []
+    for _ in range(2):
+        h = run_pipeline_subproc(dsdir, "host", 1,
+                                 timeout_s=min(_remaining() - 120, 120),
+                                 warmup=False)
+        if h is not None:
+            host_runs.append(h["lps"])
+    host_now = (sum(host_runs) / len(host_runs)) if host_runs else None
+    host_lps = host_now if host_now else committed_lps
 
     def result_line(run: dict, metric: str, partial: bool):
         vs = round(run["lps"] / host_lps, 3) if host_lps else None
@@ -262,7 +268,7 @@ def main():
               "stages": run.get("stages", {}),
               "cells_mps": run.get("cells_mps", {}),
               "pct_peak": run.get("pct_peak", {}),
-              "host_lps_same_session": round(host_now["lps"], 3)
+              "host_lps_same_session": round(host_now, 3)
               if host_now else None,
               "host_lps_committed": committed_lps,
               "partial": partial})
