@@ -132,6 +132,18 @@ def test_divergent_text_goes_full(sc):
             < 0.75 * len(text)
 
 
+def test_seed_hit_cap_bails_to_full():
+    """A repeat-degenerate flank piece whose tiles hit the text
+    thousands of times must bail to the full DP early (MAX_SEED_HITS)
+    — and stay correct through the orchestration."""
+    pattern = b"AT" * 125                  # 250bp of AT-repeat
+    text = b"AT" * 2000                    # 4kb of the same repeat
+    plan = span_window.plan_windows(pattern, text, 2, 5, 1)
+    assert plan is None                    # capped -> full DP
+    got, _, _ = _windowed([pattern], [text], (2, 5, 1))
+    assert got[0] == _full(pattern, text, (2, 5, 1))
+
+
 def test_short_text_goes_full():
     pattern = b"ACGT" * 60
     text = b"ACGT" * 100          # 400bp < MIN_TEXT_LEN
