@@ -7,9 +7,19 @@ stalls; NOTES round 3)."""
 import time
 from unittest import mock
 
+import pytest
+
 from trgt_tpu.engine.pipeline import BatchPipeline
 from trgt_tpu.engine.workflow import Params
 from trgt_tpu.utils import TrgtScoring
+
+
+@pytest.fixture(autouse=True)
+def _isolated_link_state(tmp_path, monkeypatch):
+    """Race-outcome memory persists via JAX_COMPILATION_CACHE_DIR —
+    point it at a per-test dir so tests neither read nor pollute the
+    real link-state file."""
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
 
 
 def _pipeline():
@@ -207,6 +217,35 @@ def test_pending_probe_runs_host_without_loss():
         assert p._hedged("spans", never, lambda: "host", 30) == "host"
         assert p._stage_losses.get("spans", 0) == 0   # not a loss
         assert not p._hedge_warm                      # still pending
+
+
+def test_link_state_persists_across_pipelines(tmp_path):
+    """Stages with repeated lost races start latched in a NEW pipeline
+    (a fresh process re-learning the same lost races costs link
+    occupancy + contention every run); a device win clears the
+    record."""
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        p = _pipeline()
+        for _ in range(3):
+            p._stage_losses = {}          # forget in-run latch...
+            p._stage_skips = {}
+            p._consec_losses = getattr(p, "_consec_losses", {})
+            assert p._hedged("viterbi", slow("device"),
+                             lambda: "host", 30) == "host"
+        # a fresh pipeline reads the file and starts viterbi latched
+        p2 = _pipeline()
+
+        def never():
+            raise AssertionError("remembered loser must not race")
+
+        assert p2._hedged("viterbi", never, lambda: "host", 30) == "host"
+        assert p2._stage_losses["viterbi"] >= 2
+        # a win (via re-arm in real life) clears the record for future
+        # pipelines
+        p2._record_race("viterbi", device_won=True)
+        p3 = _pipeline()
+        assert p3._hedged("viterbi", lambda: "device",
+                          slow("host"), 30) == "device"
 
 
 def test_device_error_forfeits_to_host():

@@ -324,6 +324,58 @@ class BatchPipeline:
         self._probe_thread = t
         t.start()
 
+    # per-stage race outcomes persist across processes (TTL'd): a fresh
+    # process otherwise re-learns the same lost races every run, paying
+    # link occupancy + core contention for stages that cannot win on
+    # the current link. Stages with >=3 recent consecutive losses start
+    # latched (counter re-arm still recovers them); 2 losses start at
+    # one strike. A device win clears the record immediately.
+    LINK_STATE_TTL_S = 3600.0
+
+    def _link_state_path(self):
+        d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or "/tmp"
+        return os.path.join(d, "trgt_link_state.json")
+
+    def _load_link_state(self, losses):
+        import json
+        self._consec_losses = {}
+        try:
+            with open(self._link_state_path()) as fh:
+                data = json.load(fh)
+            if time.time() - data.get("t", 0.0) > self.LINK_STATE_TTL_S:
+                return
+            self._consec_losses = {
+                str(k): int(v)
+                for k, v in data.get("consec_losses", {}).items()}
+        except (OSError, ValueError):
+            return
+        for s, n in self._consec_losses.items():
+            if n >= 3:
+                losses[s] = 2
+            elif n == 2:
+                losses.setdefault(s, 1)
+
+    def _save_link_state(self):
+        import json
+        try:
+            with open(self._link_state_path(), "w") as fh:
+                json.dump({"t": time.time(),
+                           "consec_losses": self._consec_losses}, fh)
+        except OSError:
+            pass
+
+    def _record_race(self, stage: str, device_won: bool):
+        if not hasattr(self, "_consec_losses"):
+            self._consec_losses = {}
+        if device_won:
+            if self._consec_losses.get(stage):
+                self._consec_losses[stage] = 0
+                self._save_link_state()
+        else:
+            self._consec_losses[stage] = \
+                self._consec_losses.get(stage, 0) + 1
+            self._save_link_state()
+
     def _reprobe_link(self):
         """Async throughput reprobe while degraded-latched: one small
         dispatch + 4MB fetch on a daemon thread, rate-limited; when the
@@ -393,6 +445,7 @@ class BatchPipeline:
         if losses is None:
             losses = self._stage_losses = {}
             self._stage_skips = {}
+            self._load_link_state(losses)
         if losses.get(stage, 0) >= 2:
             if getattr(self, "_degraded", False):
                 # degraded-link latch: recovery is detected by the
@@ -467,9 +520,11 @@ class BatchPipeline:
             losses[stage] = 0
             if getattr(self, "_stage_rearms", None):
                 self._stage_rearms.pop(stage, None)
+            self._record_race(stage, device_won=True)
             return value
         if winner == "host":
             n = losses[stage] = losses.get(stage, 0) + 1
+            self._record_race(stage, device_won=False)
             if n == 2:
                 log.info("host twin outran the device %s stage twice; "
                          "running that stage on host for the rest of "
