@@ -87,6 +87,68 @@ def test_pre10_shift_reorders_through_lookahead(tmp_path):
     assert got == [(98, "3,3"), (99, "0,5"), (198, "4,4")]
 
 
+def test_contig_subset_skips_unrequested_blocks(tmp_path):
+    """ADVICE r4 (high): merge --contigs c2 must not lose c2's block
+    behind an unrequested c1 block — the reader reads forward past
+    blocks that are not in `upcoming`."""
+    p = write(tmp_path, rec("c1", 10) + rec("c2", 5) + rec("c2", 7))
+    r = VcfTextReader(p)
+    assert [x.pos for x in r.records("c2", upcoming={"c2"})] == [4, 6]
+
+
+def test_header_order_mismatch_spills_block(tmp_path):
+    """ADVICE r4 (medium): a file whose own header/block order is
+    [c2, c1] merged under union order [c1, c2] must still produce both
+    blocks — c2's block is spilled while streaming forward to c1."""
+    hdr = HDR.replace(
+        "##contig=<ID=c1,length=1000000>\n##contig=<ID=c2,length=1000000>",
+        "##contig=<ID=c2,length=1000000>\n##contig=<ID=c1,length=1000000>")
+    p = write(tmp_path, rec("c2", 5) + rec("c1", 10) + rec("c1", 20),
+              header=hdr)
+    r = VcfTextReader(p)
+    up = {"c1", "c2"}
+    assert [x.pos for x in r.records("c1", upcoming=up)] == [9, 19]
+    assert [x.pos for x in r.records("c2", upcoming=up)] == [4]
+
+
+def test_header_order_mismatch_pre10_spill_shifts(tmp_path):
+    """Spilled blocks of pre-1.0 files get the POS shift + re-sort at
+    serve time (same result as the eager loader)."""
+    hdr = HDR_LEGACY.replace(
+        "##contig=<ID=c1,length=1000000>\n##contig=<ID=c2,length=1000000>",
+        "##contig=<ID=c2,length=1000000>\n##contig=<ID=c1,length=1000000>")
+    body = rec("c2", 100, al="0,5") + rec("c2", 100, al="3,3") \
+        + rec("c1", 10)
+    p = write(tmp_path, body, header=hdr)
+    r = VcfTextReader(p)
+    assert r.version == (0, 4, 0)
+    up = {"c1", "c2"}
+    assert [x.pos for x in r.records("c1", upcoming=up)] == [8]
+    got = [(x.pos, x.samples[0]["AL"]) for x in r.records("c2", upcoming=up)]
+    assert got == [(98, "3,3"), (99, "0,5")]
+
+
+def test_merge_contig_subset_end_to_end(tmp_path):
+    """run_merge with --contigs c2 over multi-contig inputs emits c2's
+    records (regression for the silent-empty-output bug)."""
+    from types import SimpleNamespace
+    from trgt_tpu.merge.runner import run_merge
+    a = write(tmp_path, rec("c1", 10) + rec("c2", 5), name="a.vcf")
+    b = write(tmp_path, rec("c1", 10) + rec("c2", 5), name="b.vcf")
+    b_text = open(b).read().replace("\ts1\n", "\ts2\n", 1)
+    open(b, "w").write(b_text)
+    out = tmp_path / "merged.vcf"
+    args = SimpleNamespace(
+        vcfs=[a, b], vcf_list=None, output=str(out), output_type="v",
+        contigs=["c2"], skip_n=0, process_n=None, print_header=False,
+        force_samples=False, force_single=False, quit_on_errors=True,
+        no_version=False, genome_path=None)
+    run_merge(args)
+    body = [l for l in out.read_text().splitlines()
+            if not l.startswith("#")]
+    assert len(body) == 1 and body[0].startswith("c2\t5\t")
+
+
 def test_streaming_is_lazy(tmp_path):
     """The reader must not slurp at construction: records() consumption
     is observable one line at a time."""

@@ -333,7 +333,17 @@ class BatchPipeline:
     LINK_STATE_TTL_S = 3600.0
 
     def _link_state_path(self):
-        d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or "/tmp"
+        # per-project (compile-cache dir) else per-user — never a
+        # world-writable shared path, where another user's stale state
+        # could pre-latch this run host-only (ADVICE r4)
+        d = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        if not d:
+            d = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+            try:
+                os.makedirs(d, exist_ok=True)
+            except OSError:
+                d = os.path.expanduser("~/.cache")
         return os.path.join(d, "trgt_link_state.json")
 
     def _load_link_state(self, losses):

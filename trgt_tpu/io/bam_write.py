@@ -64,9 +64,10 @@ def encode_aux(tag: str, typ: str, value) -> bytes:
     raise ValueError(f"Unknown aux type: {typ}")
 
 
-_ENC_BUF = None
-_ENC_PTR = None
-_ENC_VIEW = None
+# thread-local scratch: encode_bamlet_record returns a memoryview into
+# this buffer, so concurrent encoders must not share it (ADVICE r4)
+import threading as _threading
+_ENC_TLS = _threading.local()
 
 
 def encode_bamlet_record(qname: str, flag: int, ref_id: int, pos: int,
@@ -82,7 +83,6 @@ def encode_bamlet_record(qname: str, flag: int, ref_id: int, pos: int,
     or None when the native library is unavailable."""
     from . import native
     import ctypes
-    global _ENC_BUF, _ENC_PTR, _ENC_VIEW
     lib = native.get_lib()
     if lib is None:
         return None
@@ -106,11 +106,13 @@ def encode_bamlet_record(qname: str, flag: int, ref_id: int, pos: int,
         mo_b, mo_len = b"", -1
     cap = (64 + len(qname) + len(tr_id) + 4 * n_cigar + 2 * len(bases)
            + mc_len + 8 * max(mo_len, 0) + 64)
-    if _ENC_BUF is None or len(_ENC_BUF) < cap:
-        _ENC_BUF = np.empty(max(cap, 1 << 16), dtype=np.uint8)
-        _ENC_PTR = _ENC_BUF.ctypes.data_as(
+    buf = getattr(_ENC_TLS, "buf", None)
+    if buf is None or len(buf) < cap:
+        buf = np.empty(max(cap, 1 << 16), dtype=np.uint8)
+        _ENC_TLS.buf = buf
+        _ENC_TLS.ptr = buf.ctypes.data_as(
             ctypes.POINTER(ctypes.c_uint8))
-        _ENC_VIEW = memoryview(_ENC_BUF)
+        _ENC_TLS.view = memoryview(buf)
     n = lib.trgt_bamlet_record(
         qname.encode("ascii"), flag, ref_id, pos, mapq,
         cig_arr.tobytes(), n_cigar, bases, len(bases),
@@ -118,13 +120,13 @@ def encode_bamlet_record(qname: str, flag: int, ref_id: int, pos: int,
         tr_id.encode("ascii"), float(rq),
         mc, mc_len, mo_b, mo_len,
         -1 if hp is None else int(hp),
-        so, eo, al, flank_len, _ENC_PTR, len(_ENC_BUF))
+        so, eo, al, flank_len, _ENC_TLS.ptr, len(buf))
     if n < 0:
         return None
     # a memoryview slice: BgzfWriter.write copies it into its bytearray
     # immediately, so reusing the scratch buffer on the next call is
     # safe and the extra tobytes() copy is avoided
-    return _ENC_VIEW[:n]
+    return _ENC_TLS.view[:n]
 
 
 class BaiBuilder:

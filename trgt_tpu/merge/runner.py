@@ -244,10 +244,15 @@ def run_merge(args) -> None:
     process_n = args.process_n if args.process_n is not None else float("inf")
 
     done = False
-    for contig in contig_order:
+    for ci, contig in enumerate(contig_order):
         if done:
             break
-        iters = [iter(r.records(contig)) for r in readers]
+        # contigs still to be requested: the streaming reader uses this
+        # to drop blocks that will never be asked for (--contigs filter)
+        # and spill blocks that appear before their turn
+        remaining = set(contig_order[ci:])
+        iters = [iter(r.records(contig, upcoming=remaining))
+                 for r in readers]
         heap: List[Tuple[int, int, VcfRecord]] = []
         for i, it in enumerate(iters):
             rec = next(it, None)

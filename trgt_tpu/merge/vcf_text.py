@@ -61,6 +61,9 @@ class VcfTextReader:
         self._fh = None
         self._pending: Optional[VcfRecord] = None
         self._closed: set = set()
+        # contig -> raw records of a block that appeared in the file
+        # before its request turn (header-order mismatch fallback)
+        self._spilled: Dict[str, List[VcfRecord]] = {}
         if self._is_bcf(path):
             self._records_by_contig = {}
             self._load_bcf(path)
@@ -277,15 +280,30 @@ class VcfTextReader:
                             int(fields.get("length", "0") or 0)))
         return out
 
-    def records(self, contig: str, scan: bool = False
-                ) -> Iterator[VcfRecord]:
+    def _header_rank(self) -> Dict[str, int]:
+        if not hasattr(self, "_rank_cache"):
+            self._rank_cache = {cid: i for i, (cid, _)
+                                in enumerate(self.contigs())}
+        return self._rank_cache
+
+    def records(self, contig: str, scan: bool = False,
+                upcoming: Optional[set] = None) -> Iterator[VcfRecord]:
         """Stream the records of `contig`.
 
-        scan=False (merge): yields the current contig block if it
-        matches, else nothing — callers iterate contigs in the union
-        order and each block is consumed exactly once. scan=True
-        (plot): skip forward past other contigs until `contig` is
-        found (single-shot use).
+        scan=False (merge): callers iterate contigs in the merge-union
+        order and each block is consumed exactly once. When the file's
+        next block is a DIFFERENT contig, the header contig order
+        decides: if `contig` ranks later in this file's header, the
+        requested block may still be ahead, so foreign blocks are read
+        forward — dropped when they are not in `upcoming` (the set of
+        contigs the caller will still request, e.g. after a --contigs
+        filter) or spilled into a per-block memory buffer when they
+        will be requested later (header-order mismatch between files).
+        If `contig` ranks earlier, it is absent from this file and the
+        pending block is preserved for the next request.
+
+        scan=True (plot): skip forward past other contigs until
+        `contig` is found (single-shot use).
 
         Position disorder within a contig, or a contig block appearing
         after its turn has passed, raises ValueError — silently merging
@@ -294,12 +312,46 @@ class VcfTextReader:
         if self._records_by_contig is not None:
             yield from self._records_by_contig.get(contig, [])
             return
-        if self.version[0] < 1:
-            yield from self._stream_pre10(contig, scan)
+        spilled = self._spilled.pop(contig, None)
+        if spilled is not None:
+            if self.version[0] < 1:
+                for r in spilled:
+                    self._apply_shift_one(r)
+                spilled.sort(key=lambda r: r.pos)
+            yield from spilled
             return
-        yield from self._stream(contig, scan)
+        if self.version[0] < 1:
+            yield from self._stream_pre10(contig, scan, upcoming)
+            return
+        yield from self._stream(contig, scan, upcoming)
 
-    def _stream(self, contig: str, scan: bool) -> Iterator[VcfRecord]:
+    def _skip_block(self, first: VcfRecord,
+                    sink: Optional[List[VcfRecord]]) -> None:
+        """Consume the rest of `first`'s contig block (validating
+        position order), appending to `sink` when spilling; leaves the
+        first record of the following block pending."""
+        self._closed.add(first.chrom)
+        if sink is not None:
+            sink.append(first)
+        last = first.pos
+        while True:
+            rec = self._next_raw()
+            if rec is None:
+                return
+            if rec.chrom != first.chrom:
+                self._pending = rec
+                return
+            if rec.pos < last:
+                raise ValueError(
+                    f"{self.path}: records at {first.chrom}:{rec.pos + 1} "
+                    f"are not position-sorted; sort the VCF "
+                    f"(e.g. bcftools sort)")
+            last = rec.pos
+            if sink is not None:
+                sink.append(rec)
+
+    def _stream(self, contig: str, scan: bool,
+                upcoming: Optional[set] = None) -> Iterator[VcfRecord]:
         last_pos = None
         started = False
         while True:
@@ -318,6 +370,17 @@ class VcfTextReader:
                     # consumed and closed
                     self._closed.add(rec.chrom)
                     continue
+                rank = self._header_rank()
+                if (not started and contig in rank
+                        and rank.get(rec.chrom, -1) < rank[contig]):
+                    # requested block may still be ahead in this file:
+                    # read forward, spilling blocks that will be
+                    # requested later, dropping ones that never will
+                    sink = None
+                    if upcoming is None or rec.chrom in upcoming:
+                        sink = self._spilled.setdefault(rec.chrom, [])
+                    self._skip_block(rec, sink)
+                    continue
                 self._pending = rec
                 self._closed.add(contig)
                 return
@@ -334,7 +397,8 @@ class VcfTextReader:
             last_pos = rec.pos
             yield rec
 
-    def _stream_pre10(self, contig: str, scan: bool
+    def _stream_pre10(self, contig: str, scan: bool,
+                      upcoming: Optional[set] = None
                       ) -> Iterator[VcfRecord]:
         """Pre-1.0 streaming: apply the POS shift record-by-record
         through a bounded lookahead heap. The shift is at most -1, so a
@@ -344,7 +408,7 @@ class VcfTextReader:
         import heapq
         buf: List[Tuple[int, int, VcfRecord]] = []
         seq = 0
-        for rec in self._stream(contig, scan):
+        for rec in self._stream(contig, scan, upcoming):
             self._apply_shift_one(rec)
             heapq.heappush(buf, (rec.pos, seq, rec))
             seq += 1
