@@ -42,9 +42,12 @@ def get_sample_name(reads_path: str, header) -> str:
     return stem
 
 
-def write_spanning_reads(bam_writer: BamWriter, locus, results,
-                         flank_len: int) -> None:
-    # ref: src/trgt/writers/write_bam.rs:72-144
+def iter_spanning_records(tid_of, locus, results, flank_len: int):
+    """Yield (length-prefixed record bytes, ref_id, pos, ref_end) for
+    each spanning read of a locus (ref: src/trgt/writers/
+    write_bam.rs:72-144). Shared by the in-process writer and the -t N
+    worker protocol, so both produce identical record bytes."""
+    from ..io.bam_write import build_record
     for index in range(len(results.reads)):
         read = results.reads[index]
         classification = results.classification[index]
@@ -59,7 +62,7 @@ def write_spanning_reads(bam_writer: BamWriter, locus, results,
             log.error("Read %s has unexpectedly short flanks", read.id)
             continue
         read = clipped
-        contig_id = bam_writer.header.tid(locus.region.contig)
+        contig_id = tid_of(locus.region.contig)
 
         flag = 0x10 if read.is_reverse else 0
         if read.cigar is not None:
@@ -81,8 +84,7 @@ def write_spanning_reads(bam_writer: BamWriter, locus, results,
         if rec is not None:
             ref_span = sum(length for length, op in (cigar or [])
                            if op in "MDN=X")
-            bam_writer.write_encoded(rec, contig_id, pos,
-                                     pos + ref_span)
+            yield rec, contig_id, pos, pos + ref_span
             continue
         aux = [("TR", "Z", locus.id),
                ("rq", "f", rq)]
@@ -97,8 +99,17 @@ def write_spanning_reads(bam_writer: BamWriter, locus, results,
         aux.append(("AL", "i", classification))
         aux.append(("FL", "B", ("I", [flank_len, flank_len])))
 
-        bam_writer.write_record(read.id, flag, contig_id, pos, mapq, cigar,
-                                read.bases.decode(), read.quals, aux)
+        rec_b, ref_end = build_record(read.id, flag, contig_id, pos, mapq,
+                                      cigar, read.bases.decode(),
+                                      read.quals, aux)
+        yield rec_b, contig_id, pos, ref_end
+
+
+def write_spanning_reads(bam_writer: BamWriter, locus, results,
+                         flank_len: int) -> None:
+    for rec, rid, pos, ref_end in iter_spanning_records(
+            bam_writer.header.tid, locus, results, flank_len):
+        bam_writer.write_encoded(rec, rid, pos, ref_end)
 
 
 def open_alignments(reads_path: str, genome_path: Optional[str] = None):
@@ -110,6 +121,169 @@ def open_alignments(reads_path: str, genome_path: Optional[str] = None):
         from ..io.cram import CramReader
         return CramReader(reads_path, genome_path)
     return BamReader(reads_path)
+
+
+def _run_genotype_procs(args, vcf_writer, bam_writer, nproc: int):
+    """Spawn `nproc` worker processes (engine/worker.py), hand out
+    catalog chunks dynamically (first worker to ask gets the next
+    chunk — the work-distribution property of the reference's rayon
+    pool, commands/genotype.rs:178-187), and k-way merge the framed
+    output records by catalog stream index, which reproduces the -t1
+    byte order exactly (chunks are granted in ascending order, so each
+    worker's indices ascend). Worker 0 inherits the requested device
+    mode; the rest run host-side (the single-client TPU tunnel admits
+    one device process)."""
+    import heapq
+    import json
+    import struct
+    import subprocess
+    import threading
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    level = logging.getLogger("trgt").getEffectiveLevel()
+    procs = []
+    for wk in range(nproc):
+        a = dict(vars(args))
+        if wk > 0:
+            a["device"] = "host"
+        env = None
+        if a.get("device") == "host":
+            # host workers never dispatch: skip the axon PJRT plugin
+            # registration (sitecustomize) and pin the cpu backend via
+            # env so the worker can skip importing jax entirely —
+            # ~2.5s of startup per worker on this image
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env["JAX_PLATFORMS"] = "cpu"
+        spec = {"args": a, "worker_index": wk, "log_level": level}
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "trgt_tpu.engine.worker",
+             json.dumps(spec)],
+            stdout=subprocess.PIPE, stdin=subprocess.PIPE,
+            cwd=pkg_root, env=env))
+
+    def read_exact(fh, k):
+        buf = b""
+        while len(buf) < k:
+            chunk = fh.read(k - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    stats = [None] * nproc
+
+    # dynamic chunk grants: chunk requests arrive as b'R' frames and
+    # are answered in arrival order with the next unassigned chunk, so
+    # an expensive locus only delays its own worker
+    chunk_size = int(os.environ.get("TRGT_TPU_CHUNK", "2"))
+    grant_lock = threading.Lock()
+    next_start = [0]
+
+    def grant_chunk(i):
+        with grant_lock:
+            start = next_start[0]
+            next_start[0] += chunk_size
+        try:
+            procs[i].stdin.write(struct.pack("<qq", start, chunk_size))
+            procs[i].stdin.flush()
+        except (BrokenPipeError, OSError):
+            pass   # worker ended its stream; E-frame handling decides
+
+    def read_frame(i):
+        """Parse one L/E frame from worker i's pipe, answering R
+        frames inline; None at end-of-stream."""
+        fh = procs[i].stdout
+        while True:
+            tag = read_exact(fh, 1)
+            if tag is None:
+                raise RuntimeError(
+                    f"genotype worker {i} exited without end-of-stream "
+                    f"(rc={procs[i].poll()})")
+            if tag == b"R":
+                grant_chunk(i)
+                continue
+            if tag == b"E":
+                stats[i] = struct.unpack("<QQ", read_exact(fh, 16))
+                return None
+            if tag != b"L":
+                raise RuntimeError(
+                    f"genotype worker {i}: bad frame tag {tag!r}")
+            j, vcf_len, n_bam = struct.unpack("<QII", read_exact(fh, 16))
+            vcf = read_exact(fh, vcf_len)
+            recs = []
+            for _ in range(n_bam):
+                rec_len, rid, pos, ref_end = struct.unpack(
+                    "<Iiqq", read_exact(fh, 24))
+                recs.append((read_exact(fh, rec_len), rid, pos, ref_end))
+            return j, vcf, recs
+
+    # one reader thread per worker: the merge loop consumes indices in
+    # strict interleave, so without buffering a worker would stall on a
+    # full 64KB pipe whenever a sibling lags — the bounded queues give
+    # each worker a deep runahead window instead. The reader also
+    # answers its worker's chunk requests, so grants never wait on the
+    # merge loop.
+    import queue as queue_mod
+    queues = [queue_mod.Queue(maxsize=256) for _ in range(nproc)]
+
+    def reader_main(i):
+        try:
+            while True:
+                frame = read_frame(i)
+                queues[i].put(frame)
+                if frame is None:
+                    return
+        except Exception as e:   # surfaced on the merge thread
+            queues[i].put(("ERR", e))
+
+    readers = [threading.Thread(target=reader_main, args=(i,), daemon=True)
+               for i in range(nproc)]
+    for t in readers:
+        t.start()
+
+    def next_frame(i):
+        frame = queues[i].get()
+        if frame is not None and isinstance(frame[0], str):
+            raise frame[1]
+        return frame
+
+    heap = []
+    for i in range(nproc):
+        frame = next_frame(i)
+        if frame is not None:
+            heapq.heappush(heap, (frame[0], i, frame[1], frame[2]))
+    while heap:
+        _, i, vcf, recs = heapq.heappop(heap)
+        vcf_writer.write_bytes(vcf)
+        if bam_writer is not None:
+            for rec, rid, pos, ref_end in recs:
+                bam_writer.write_encoded(rec, rid, pos, ref_end)
+        frame = next_frame(i)
+        if frame is not None:
+            heapq.heappush(heap, (frame[0], i, frame[1], frame[2]))
+    for t in readers:
+        t.join()
+
+    for i, p in enumerate(procs):
+        rc = p.wait()
+        p.stdout.close()
+        if rc != 0:
+            # stats[i] set ⇒ the end-of-stream frame arrived, so every
+            # output record was delivered; a nonzero exit after that is
+            # a teardown artifact (e.g. a device thread blocked on the
+            # stalled link aborting interpreter shutdown), not data loss
+            if stats[i] is None:
+                raise RuntimeError(f"genotype worker {i} failed (rc={rc})")
+            log.warning("genotype worker %d exited rc=%d after "
+                        "end-of-stream (teardown artifact); outputs "
+                        "are complete", i, rc)
+    n_ok = sum(s[0] for s in stats if s)
+    # every worker parses the whole catalog, so BED parse errors are
+    # counted once per worker — max() recovers the -t1 count
+    n_err = max((s[1] for s in stats if s), default=0)
+    return n_ok, n_err
 
 
 def run_genotype(args) -> None:
@@ -138,6 +312,23 @@ def run_genotype(args) -> None:
                         f"CL:{command_line}\tVN:{FULL_VERSION}\n")
         bam_writer = BamWriter(f"{args.output_prefix}.spanning.bam",
                                header_text, bam.header.references)
+
+    num_threads = getattr(args, "num_threads", 1)
+    if num_threads > 1 and os.environ.get("TRGT_TPU_PROCS", "1") != "0":
+        # -t N runs N worker PROCESSES over strided catalog slices
+        # (zero-coordination shards; the GIL caps the in-process thread
+        # path at ~1.2x). The parent only merges rendered record bytes,
+        # so output is byte-identical to -t1. TRGT_TPU_PROCS=0 restores
+        # the in-process thread path.
+        try:
+            n_ok, n_err = _run_genotype_procs(args, vcf_writer, bam_writer,
+                                              num_threads)
+        finally:
+            vcf_writer.close()
+            if bam_writer is not None:
+                bam_writer.close()
+        log.info("Processed %d loci (%d errors)", n_ok, n_err)
+        return
 
     params = Params(
         min_flank_id_frac=args.min_flank_id_frac,

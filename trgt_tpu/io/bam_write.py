@@ -129,6 +129,35 @@ def encode_bamlet_record(qname: str, flag: int, ref_id: int, pos: int,
     return _ENC_TLS.view[:n]
 
 
+def build_record(qname: str, flag: int, ref_id: int, pos: int,
+                 mapq: int, cigar, seq: str, qual: bytes,
+                 aux) -> Tuple[bytes, int]:
+    """Encode one length-prefixed BAM record (Python path, BAM spec
+    §4.2); returns (record bytes, reference end) for BAI bookkeeping."""
+    cigar = cigar or []
+    qname_b = qname.encode("ascii") + b"\0"
+    n_cigar = len(cigar)
+    l_seq = len(seq)
+    ref_len = sum(length for length, op in cigar if op in "MDN=X")
+    if cigar:
+        bin_v = reg2bin(pos, pos + max(1, ref_len))
+    else:
+        bin_v = reg2bin(pos, pos + 1)
+    parts = [
+        struct.pack("<iiBBHHHIiii", ref_id, pos, len(qname_b), mapq,
+                    bin_v, n_cigar, flag, l_seq, -1, -1, 0),
+        qname_b,
+        struct.pack(f"<{n_cigar}I",
+                    *((length << 4) | CIGAR_OP_CODE[op]
+                      for length, op in cigar)),
+        pack_seq(seq),
+        bytes(qual),
+    ]
+    parts.extend(encode_aux(tag, typ, value) for tag, typ, value in aux)
+    rec = b"".join(parts)
+    return struct.pack("<i", len(rec)) + rec, pos + ref_len
+
+
 class BaiBuilder:
     """Builds a .bai index for records written in sorted order
     (replaces `samtools index` for our own sorted outputs)."""
@@ -197,33 +226,9 @@ class BamWriter:
                      mapq: int, cigar: Optional[List[Tuple[int, str]]],
                      seq: str, qual: bytes,
                      aux: List[Tuple[str, str, object]]):
-        cigar = cigar or []
-        qname_b = qname.encode("ascii") + b"\0"
-        n_cigar = len(cigar)
-        l_seq = len(seq)
-        if cigar:
-            ref_len = sum(length for length, op in cigar if op in "MDN=X")
-            bin_v = reg2bin(pos, pos + max(1, ref_len))
-        else:
-            bin_v = reg2bin(pos, pos + 1)
-        parts = [
-            struct.pack("<iiBBHHHIiii", ref_id, pos, len(qname_b), mapq,
-                        bin_v, n_cigar, flag, l_seq, -1, -1, 0),
-            qname_b,
-            struct.pack(f"<{n_cigar}I",
-                        *((length << 4) | CIGAR_OP_CODE[op]
-                          for length, op in cigar)),
-            pack_seq(seq),
-            bytes(qual),
-        ]
-        parts.extend(encode_aux(tag, typ, value) for tag, typ, value in aux)
-        rec = b"".join(parts)
-        voff_start = self._bgzf.tell_virtual()
-        self._bgzf.write(struct.pack("<i", len(rec)) + rec)
-        if self._bai is not None:
-            ref_len = sum(length for length, op in cigar if op in "MDN=X")
-            self._bai.add(ref_id, pos, pos + ref_len,
-                          voff_start, self._bgzf.tell_virtual())
+        rec, ref_end = build_record(qname, flag, ref_id, pos, mapq,
+                                    cigar, seq, qual, aux)
+        self.write_encoded(rec, ref_id, pos, ref_end)
 
     def write_encoded(self, rec_with_len: bytes, ref_id: int, pos: int,
                       ref_end: int):

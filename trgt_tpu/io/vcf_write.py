@@ -74,8 +74,21 @@ class VcfWriter:
     def __exit__(self, *exc):
         self.close()
 
+    def write_bytes(self, data: bytes) -> None:
+        """Append a pre-rendered record line (multiprocess worker path)."""
+        if self._bgzf is not None:
+            self._bgzf.write(data)
+        else:
+            self._fh.write(data)
+
     def write(self, locus, result) -> None:
         """locus: io.catalog.Locus; result: engine.workflow.LocusResult."""
+        self._write(self.render(locus, result))
+
+    @staticmethod
+    def render(locus, result) -> str:
+        """Render one VCF record line (without writing); the -t N
+        worker processes ship rendered lines to the parent writer."""
         info = (f"TRID={locus.id};END={locus.region.end};"
                 f"MOTIFS={','.join(locus.motifs)};STRUC={locus.struc}")
         pos = max(0, locus.region.start - 1)  # padding base before the TR
@@ -89,8 +102,7 @@ class VcfWriter:
             sample = "./.:.:.:.:.:.:.:."
             row = [locus.region.contig, str(pos + 1), ".", ref_seq, ".", ".",
                    ".", info, fmt, sample]
-            self._write("\t".join(row) + "\n")
-            return
+            return "\t".join(row) + "\n"
 
         # GT allele dedup + padding (ref: write_vcf.rs:219-259)
         seqs = [locus.tr]
@@ -136,4 +148,4 @@ class VcfWriter:
         sample = ":".join([gt_field, al, allr, sd, mc, ms, ap, am])
         row = [locus.region.contig, str(pos + 1), ".", ref_seq, alt_field,
                ".", ".", info, fmt, sample]
-        self._write("\t".join(row) + "\n")
+        return "\t".join(row) + "\n"
