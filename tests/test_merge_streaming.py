@@ -149,6 +149,38 @@ def test_merge_contig_subset_end_to_end(tmp_path):
     assert len(body) == 1 and body[0].startswith("c2\t5\t")
 
 
+def test_bcf_input_streams_lazily(tmp_path):
+    """BCF merge inputs decode record-by-record from the container
+    (VERDICT r4 next #7): after pulling one record, the underlying
+    stream must not be fully consumed."""
+    from types import SimpleNamespace
+    from trgt_tpu.merge.runner import run_merge
+    hdr_full = HDR.replace(
+        '##FORMAT=<ID=AM,Number=.,Type=Float,Description="x">',
+        '##FORMAT=<ID=SD,Number=.,Type=Integer,Description="x">\n'
+        '##FORMAT=<ID=MC,Number=.,Type=String,Description="x">\n'
+        '##FORMAT=<ID=MS,Number=.,Type=String,Description="x">\n'
+        '##FORMAT=<ID=AP,Number=.,Type=Float,Description="x">\n'
+        '##FORMAT=<ID=AM,Number=.,Type=Float,Description="x">')
+    body = "".join(rec("c1", 10 + 500 * i) for i in range(200))
+    p = write(tmp_path, body, header=hdr_full, name="in.vcf")
+    bcf = str(tmp_path / "in.bcf.gz")
+    args = SimpleNamespace(
+        vcfs=[p], vcf_list=None, output=bcf, output_type="b",
+        contigs=None, skip_n=0, process_n=None, print_header=False,
+        force_samples=False, force_single=True, quit_on_errors=True,
+        no_version=False, genome_path=None)
+    run_merge(args)
+    r = VcfTextReader(bcf)
+    it = r.records("c1")
+    first = next(it)
+    assert first.pos == 9
+    # generator-based: no eager per-contig dict was built
+    assert r._bcf_gen is not None
+    rest = list(it)
+    assert len(rest) == 199 and rest[-1].pos == 9 + 500 * 199
+
+
 def test_streaming_is_lazy(tmp_path):
     """The reader must not slurp at construction: records() consumption
     is observable one line at a time."""

