@@ -152,3 +152,47 @@ def test_pallas_matches_jnp_kernel():
     jnp_res = flank_align_batch_multi(patterns, texts, 2, 5, 1)
     pal_res = flank_align_batch_pallas(patterns, texts, 2, 5, 1)
     assert jnp_res == pal_res
+
+
+def test_pallas_segmented_packing_matches_host():
+    """Segmented packing (texts < the 512 bucket floor share rows in
+    seg-wide lane segments) must be bit-identical to the host twin —
+    mixed segment buckets, varied pattern lengths, pad rows, and
+    pathological tie cases (duplicate implants) in one call."""
+    from trgt_tpu.kernels.semiglobal import flank_align_batch_multi
+    from trgt_tpu.kernels.semiglobal_pallas import flank_align_batch_pallas
+    rng = random.Random(77)
+    patterns, texts = [], []
+    for i in range(37):                       # odd count: pad segments
+        pattern = random_dna(rng, 40, 40)
+        tlen_hi = rng.choice([28, 60, 120, 250, 480])
+        left = random_dna(rng, 0, tlen_hi // 3)
+        right = random_dna(rng, 0, tlen_hi // 3)
+        mid = mutate(rng, pattern, rng.choice([0.0, 0.1, 0.3]))
+        if i % 7 == 0:
+            mid = mid + mid                   # duplicate implant: ties
+        texts.append((left + mid + right)[:tlen_hi + 1])
+        patterns.append(pattern)
+    pal = flank_align_batch_pallas(patterns, texts, 2, 5, 1)
+    want = flank_align_batch_multi(patterns, texts, 2, 5, 1)
+    assert pal == want
+
+
+def test_pallas_segmented_vs_full_route_identical():
+    """A group whose texts straddle the packing threshold routes some
+    problems to the segmented kernel and some to the full kernel;
+    results must be order-preserving and host-identical."""
+    from trgt_tpu.kernels.semiglobal import flank_align_batch_multi
+    from trgt_tpu.kernels.semiglobal_pallas import flank_align_batch_pallas
+    rng = random.Random(123)
+    pattern = random_dna(rng, 50, 50)
+    texts = []
+    for tl in (30, 500, 64, 400, 31, 505, 90):
+        base = mutate(rng, pattern, 0.15)
+        filler = random_dna(rng, max(0, tl - len(base)),
+                            max(0, tl - len(base)))
+        texts.append((base + filler)[:tl])
+    patterns = [pattern] * len(texts)
+    pal = flank_align_batch_pallas(patterns, texts, 2, 5, 1)
+    want = flank_align_batch_multi(patterns, texts, 2, 5, 1)
+    assert pal == want

@@ -198,7 +198,24 @@ def exit_cli(rc: int) -> None:
     instead. Library callers of main() are unaffected."""
     try:
         from .engine import pipeline
-        if pipeline.abandoned_device_threads():
+        skip_teardown = bool(pipeline.abandoned_device_threads())
+        if not skip_teardown:
+            # the tunneled PJRT client can abort interpreter teardown
+            # ("terminate called …") even after clean completion — if a
+            # non-CPU backend was initialized in this process, skip
+            # teardown once outputs are flushed. _backends is only
+            # inspected, never populated, so host-mode runs that never
+            # touched a device are unaffected.
+            jax_mod = sys.modules.get("jax")
+            if jax_mod is not None:
+                try:
+                    from jax._src import xla_bridge
+                    skip_teardown = any(
+                        p != "cpu" for p in getattr(
+                            xla_bridge, "_backends", {}))
+                except Exception:
+                    pass
+        if skip_teardown:
             sys.stdout.flush()
             sys.stderr.flush()
             os._exit(rc)
