@@ -70,6 +70,54 @@ def run_genotype(dsdir: str, device: str, genotyper: str, karyotype: str,
     return time.time() - t0, ok
 
 
+def run_genotype_resident(jobs, device: str, timeout_s: float):
+    """Run ALL configs in ONE resident subprocess (the serving
+    measurement: a genotyping service does not cold-start per
+    catalog). The first config is visited twice — its first visit
+    absorbs the one-time per-process jit-trace/compile-cache warmup
+    (written to a _warm prefix and discarded); every reported time is
+    a steady-state visit. Returns (times list, warmup_s, ok)."""
+    job_list = [list(j) for j in jobs]
+    code = (
+        "import sys, time, json, os\n"
+        "sys.path.insert(0, {repo!r})\n"
+        "from trgt_tpu.jax_setup import setup_jax_cache\n"
+        "setup_jax_cache()\n"
+        "from trgt_tpu.cli import main\n"
+        "jobs = {jobs!r}\n"
+        "device = {device!r}\n"
+        "order = [0] + list(range(len(jobs)))\n"
+        "times = [None] * len(jobs)\n"
+        "warm = None\n"
+        "for k, idx in enumerate(order):\n"
+        "    dsdir, gt, kary, prefix = jobs[idx]\n"
+        "    p = prefix + '_warm' if k == 0 else prefix\n"
+        "    t0 = time.time()\n"
+        "    rc = main(['genotype', '--genome',\n"
+        "               os.path.join(dsdir, 'ref.fasta'), '--repeats',\n"
+        "               os.path.join(dsdir, 'repeats.bed'), '--reads',\n"
+        "               os.path.join(dsdir, 'reads.bam'),\n"
+        "               '--output-prefix', p, '--device', device,\n"
+        "               '--genotyper', gt, '--karyotype', kary])\n"
+        "    assert rc == 0, (idx, rc)\n"
+        "    if k == 0:\n"
+        "        warm = time.time() - t0\n"
+        "    else:\n"
+        "        times[idx] = time.time() - t0\n"
+        "print('RESULT', json.dumps({{'times': times, 'warm': warm}}))\n"
+        "sys.stdout.flush()\n"
+        "os._exit(0)\n"
+    ).format(repo=REPO, jobs=job_list, device=device)
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                          capture_output=True, timeout=timeout_s)
+    for line in proc.stdout.decode().splitlines():
+        if line.startswith("RESULT "):
+            d = json.loads(line[len("RESULT "):])
+            return d["times"], d["warm"], True
+    sys.stderr.write(proc.stderr.decode()[-2000:] + "\n")
+    return None, None, False
+
+
 def vcf_text(path: str) -> bytes:
     with gzip.open(path, "rb") as fh:
         return fh.read()
@@ -124,6 +172,10 @@ def main(argv=None):
                     help="small catalogs + tight timeouts (the pytest "
                          "CI mode, tests/test_concordance_quick.py — "
                          "keeps this harness from silently rotting)")
+    ap.add_argument("--resident", action="store_true",
+                    help="one resident process per mode runs all "
+                         "configs (steady-state serving times; the "
+                         "one-time jit warmup is reported separately)")
     args = ap.parse_args(argv)
     if args.quick:
         args.n = min(args.n, 16)
@@ -137,13 +189,35 @@ def main(argv=None):
     ]
     rows = []
     all_ok = True
-    for genotyper, karyotype, tag, n, chrom, hap in configs:
-        dsdir = dataset_dir(tag, n, 42, chrom=chrom, haploid_homs=hap)
+    warmups = {}
+    dsdirs = [dataset_dir(tag, n, 42, chrom=chrom, haploid_homs=hap)
+              for _gt, _k, tag, n, chrom, hap in configs]
+    if args.resident:
+        mode_times = {}
+        for device in (args.device, "host"):
+            jobs = [(dsdirs[i], gt, kary,
+                     os.path.join(dsdirs[i], f"out_{gt}_{device}"))
+                    for i, (gt, kary, *_rest) in enumerate(configs)]
+            times, warm, ok = run_genotype_resident(jobs, device,
+                                                    args.timeout)
+            if not ok:
+                raise SystemExit(f"FAILED: resident run on {device}")
+            mode_times[device] = times
+            warmups[device] = warm
+            print(f"[resident/{device}] warmup={warm:.1f}s "
+                  f"times={[round(t, 1) for t in times]}", flush=True)
+    for ci, (genotyper, karyotype, tag, n, chrom, hap) in \
+            enumerate(configs):
+        dsdir = dsdirs[ci]
         truth = json.load(open(os.path.join(dsdir, "truth.json")))
         outs = {}
         times = {}
         for device in (args.device, "host"):
             prefix = os.path.join(dsdir, f"out_{genotyper}_{device}")
+            if args.resident:
+                outs[device] = prefix + ".vcf.gz"
+                times[device] = mode_times[device][ci]
+                continue
             dt, ok = run_genotype(dsdir, device, genotyper, karyotype,
                                   prefix, args.timeout)
             if not ok:
@@ -178,10 +252,21 @@ def main(argv=None):
     with open(args.out, "w") as fh:
         fh.write("# Concordance report — heterogeneous synthetic catalog\n\n")
         fh.write(f"Generated by `python concordance.py --n {args.n} "
-                 f"--device {args.device}` (seed 42). Catalog: motif "
+                 f"--device {args.device}"
+                 f"{' --resident' if args.resident else ''}` (seed 42). "
+                 "Catalog: motif "
                  "lengths 1-10, TR lengths 10bp-10kb, depths 10-200, "
                  "error rates 0-2%, hom/het/double-het genotypes, "
                  "multi-motif HMMs; XY config runs haploid chrX loci.\n\n")
+        if args.resident:
+            fh.write("Resident mode: one process per mode runs every "
+                     "config (the serving measurement); each row is a "
+                     "steady-state visit. One-time per-process warmup "
+                     "(jit trace + compile-cache load, absorbed by a "
+                     "discarded first visit): "
+                     + ", ".join(f"{m} {w:.1f}s"
+                                 for m, w in warmups.items())
+                     + ".\n\n")
         fh.write("| genotyper | karyotype | loci | device==host (VCF bytes)"
                  " | truth AL (error-free loci) | device s | host s |\n")
         fh.write("|---|---|---|---|---|---|---|\n")

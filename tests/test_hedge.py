@@ -283,3 +283,39 @@ def test_host_loser_cancels():
     n_after = len(progress)
     time.sleep(0.3)
     assert len(progress) == n_after       # no further host progress
+
+
+def test_micro_race_preroutes_to_host():
+    """A race whose host estimate is below the device dispatch floor
+    routes host directly: no device dispatch, no loss bookkeeping
+    (an unwinnable micro-race says nothing about link health)."""
+    p = _pipeline()
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        def never():
+            raise AssertionError("micro-race dispatched to device")
+        got = p._hedged("editdist", never, lambda: "host", 30,
+                        host_est_s=0.001)
+        assert got == "host"
+        assert getattr(p, "_stage_losses", {}).get("editdist", 0) == 0
+        # above the floor the race runs normally
+        got2 = p._hedged("editdist", lambda: "device", slow("host"), 30,
+                         host_est_s=10.0)
+        assert got2 == "device"
+
+
+def test_rearm_backoff_persists_across_pipelines(tmp_path, monkeypatch):
+    """Re-arm backoff survives into a new pipeline via the link-state
+    file, so serial runs on a bad link do not re-pay the probe ladder."""
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+    p = _pipeline()
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        for _ in range(2):
+            p._hedged("spans", slow("device"), lambda: "host", 30)
+        # drive one re-arm (6 skipped calls) — it loses again
+        for _ in range(7):
+            p._hedged("spans", slow("device", 3.0), lambda: "host", 30)
+        assert p._stage_rearms.get("spans", 0) >= 1
+    p2 = _pipeline()
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        p2._hedged("viterbi", lambda: "device", slow("host"), 30)
+    assert p2._stage_rearms.get("spans", 0) >= 1

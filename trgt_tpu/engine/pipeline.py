@@ -357,6 +357,12 @@ class BatchPipeline:
             self._consec_losses = {
                 str(k): int(v)
                 for k, v in data.get("consec_losses", {}).items()}
+            # re-arm backoff continues across processes within the TTL:
+            # a fresh pipeline would otherwise re-pay the whole probe
+            # ladder (~4-6 lost dispatches) every run on a bad link
+            self._stage_rearms = {
+                str(k): int(v)
+                for k, v in data.get("rearms", {}).items()}
         except (OSError, ValueError):
             return
         for s, n in self._consec_losses.items():
@@ -370,7 +376,10 @@ class BatchPipeline:
         try:
             with open(self._link_state_path(), "w") as fh:
                 json.dump({"t": time.time(),
-                           "consec_losses": self._consec_losses}, fh)
+                           "consec_losses": getattr(
+                               self, "_consec_losses", {}),
+                           "rearms": getattr(self, "_stage_rearms", {})},
+                          fh)
         except OSError:
             pass
 
@@ -378,6 +387,8 @@ class BatchPipeline:
         if not hasattr(self, "_consec_losses"):
             self._consec_losses = {}
         if device_won:
+            if getattr(self, "_stage_rearms", {}).get(stage):
+                self._stage_rearms[stage] = 0
             if self._consec_losses.get(stage):
                 self._consec_losses[stage] = 0
                 self._save_link_state()
@@ -426,7 +437,16 @@ class BatchPipeline:
         self._reprobe_thread = t
         t.start()
 
-    def _hedged(self, stage: str, device_fn, host_fn, deadline_s: float):
+    # below this host-twin estimate a race is unwinnable on this link:
+    # a device dispatch pays ~90-120ms fixed (round-1 NOTES cost model)
+    # before its first cell, so racing ~10ms host jobs only burns the
+    # serialized link and latch bookkeeping. Local-TPU deployments
+    # (dispatch floor ~1ms) should lower this via env.
+    MIN_RACE_HOST_S = float(os.environ.get(
+        "TRGT_TPU_MIN_RACE_HOST_S", "0.08"))
+
+    def _hedged(self, stage: str, device_fn, host_fn, deadline_s: float,
+                host_est_s: float = None):
         """RACE device_fn against host_fn and return the first result —
         the two paths are byte-identical by construction (enforced by
         the concordance suite), so the winner choice cannot change
@@ -451,6 +471,12 @@ class BatchPipeline:
             # CPU/virtual-mesh runs (tests, multichip dryrun) must
             # actually exercise the device path — no link to race
             return device_fn()
+        if host_est_s is not None and host_est_s < self.MIN_RACE_HOST_S:
+            # measured pre-route (same spirit as the genotyper-math
+            # decision, SURVEY §2.1): unwinnable micro-races skip the
+            # dispatch AND the loss bookkeeping — they say nothing
+            # about link health
+            return host_fn()
         losses = getattr(self, "_stage_losses", None)
         if losses is None:
             losses = self._stage_losses = {}
@@ -482,6 +508,7 @@ class BatchPipeline:
             skips[stage] = 0
             rearms[stage] = rearms.get(stage, 0) + 1
             losses[stage] = 1
+            self._save_link_state()
             log.info("re-arming latched device %s stage for one race",
                      stage)
         if not getattr(self, "_hedge_warm", False):
@@ -911,7 +938,8 @@ class BatchPipeline:
 
             # host twin ~3-10µs/pair (bit-parallel Myers)
             pair_eds = self._hedged("editdist", device_fn, host_fn,
-                                    5.0 + 2e-5 * len(all_pairs))
+                                    5.0 + 2e-5 * len(all_pairs),
+                                    host_est_s=8e-6 * len(all_pairs))
 
         cluster_lookup = {}
         for st, ed_u, uidx, ei, ej, start in cluster_states:
@@ -1033,7 +1061,8 @@ class BatchPipeline:
                                       cancelled=cancelled)
 
             return self._hedged("consensus", dev_fn, host_fn,
-                                5.0 + 3.0 * est_host)
+                                5.0 + 3.0 * est_host,
+                                host_est_s=est_host)
 
         return raced_aligner
 
@@ -1085,7 +1114,8 @@ class BatchPipeline:
 
         # host twin ~1-3ms/labeling (native Viterbi)
         return self._hedged("viterbi", device_fn, host_fn,
-                            5.0 + 0.015 * len(queries))
+                            5.0 + 0.015 * len(queries),
+                            host_est_s=1.5e-3 * len(queries))
 
     # ---- assembly (tr.rs:79-108) ----
     def _assemble(self, st) -> LocusResult:
