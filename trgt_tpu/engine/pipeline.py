@@ -482,35 +482,6 @@ class BatchPipeline:
             losses = self._stage_losses = {}
             self._stage_skips = {}
             self._load_link_state(losses)
-        if losses.get(stage, 0) >= 2:
-            if getattr(self, "_degraded", False):
-                # degraded-link latch: recovery is detected by the
-                # zero-cost async throughput reprobe, NOT by burning
-                # re-arm races (each lost race costs a slow dispatch)
-                self._reprobe_link()
-                return host_fn()
-            skips = self._stage_skips
-            skips[stage] = skips.get(stage, 0) + 1
-            rearms = getattr(self, "_stage_rearms", None)
-            if rearms is None:
-                rearms = self._stage_rearms = {}
-            # exponential backoff: each failed re-arm doubles the wait
-            # (per-locus stages like consensus would otherwise re-race
-            # every few loci through a long degraded window); a device
-            # win resets the backoff below
-            threshold = min(
-                self.REARM_AFTER_SKIPS * (1 << rearms.get(stage, 0)),
-                96)
-            if skips[stage] < threshold:
-                return host_fn()
-            # re-arm: drop to one loss so this call races again; a win
-            # clears the latch, a loss re-latches immediately
-            skips[stage] = 0
-            rearms[stage] = rearms.get(stage, 0) + 1
-            losses[stage] = 1
-            self._save_link_state()
-            log.info("re-arming latched device %s stage for one race",
-                     stage)
         if not getattr(self, "_hedge_warm", False):
             # the warm probe (backend init + tiny dispatch + a ~4MB
             # fetch timing the DATA path) runs on its own thread,
@@ -549,6 +520,51 @@ class BatchPipeline:
                     losses[s] = 2
                 if losses.get(stage, 0) >= 2:
                     return host_fn()
+            else:
+                # a healthy probe refutes stale persisted latches: the
+                # link-state record describes a PAST window (TTL 1h);
+                # without this, a run in a recovered window would stay
+                # host-only for its whole duration (observed: a bench
+                # device rung that never dispatched a single kernel)
+                stale = [s for s, n in losses.items() if n >= 2]
+                if stale:
+                    log.info("healthy link probe (%.2fs/4MB); clearing "
+                             "persisted latches for %s", fetch_s, stale)
+                    for s in stale:
+                        losses[s] = 0
+                    if getattr(self, "_stage_rearms", None):
+                        self._stage_rearms.clear()
+                    self._consec_losses = {}
+                    self._save_link_state()
+        if losses.get(stage, 0) >= 2:
+            if getattr(self, "_degraded", False):
+                # degraded-link latch: recovery is detected by the
+                # zero-cost async throughput reprobe, NOT by burning
+                # re-arm races (each lost race costs a slow dispatch)
+                self._reprobe_link()
+                return host_fn()
+            skips = self._stage_skips
+            skips[stage] = skips.get(stage, 0) + 1
+            rearms = getattr(self, "_stage_rearms", None)
+            if rearms is None:
+                rearms = self._stage_rearms = {}
+            # exponential backoff: each failed re-arm doubles the wait
+            # (per-locus stages like consensus would otherwise re-race
+            # every few loci through a long degraded window); a device
+            # win resets the backoff below
+            threshold = min(
+                self.REARM_AFTER_SKIPS * (1 << rearms.get(stage, 0)),
+                96)
+            if skips[stage] < threshold:
+                return host_fn()
+            # re-arm: drop to one loss so this call races again; a win
+            # clears the latch, a loss re-latches immediately
+            skips[stage] = 0
+            rearms[stage] = rearms.get(stage, 0) + 1
+            losses[stage] = 1
+            self._save_link_state()
+            log.info("re-arming latched device %s stage for one race",
+                     stage)
         winner, value, err = _race(device_fn, host_fn,
                                    max(deadline_s, 60.0))
         if err is not None:
