@@ -68,6 +68,11 @@ def main():
     assert rc == 0
     stages = {k: round(v, 1) for k, v in pipeline.STAGE_TIMES.items()}
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    # -t N runs worker PROCESSES: the flat-memory evidence must cover
+    # them too (max child RSS; the dataset-synth subprocess above also
+    # lands here, so prefer the -t1 number for the streaming claim)
+    child_rss_mb = resource.getrusage(
+        resource.RUSAGE_CHILDREN).ru_maxrss / 1024.0
     vcf = os.path.join(dsdir, f"scale_{args.device}.vcf.gz")
     print(json.dumps({
         "n_loci": args.n,
@@ -76,6 +81,7 @@ def main():
         "lps": round(args.n / wall, 2),
         "wall_s": round(wall, 1),
         "rss_mb": round(rss_mb, 1),
+        "max_child_rss_mb": round(child_rss_mb, 1),
         "stages": stages,
         "write_frac_of_wall": round(stages.get("write", 0.0) / wall, 3),
         # thread CPU time of the writer — the wall timer above also
